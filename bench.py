@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.md): **SNPs scored/sec/chip** in the AM scan's
+per-iteration score sweep (the reference's ``calculate_a_and_vara_rcpp``
+hot loop, SURVEY.md §3.3), at the "mouse-panel" scale of BASELINE.json
+config 2 (2k individuals × 100k SNPs) on one chip.
+
+``vs_baseline``: the reference's published numbers are unavailable
+(BASELINE.json "published" = {}; see BASELINE.md), so the baseline is the
+reference-style dense CPU sweep — the same â/var(â) computation in NumPy
+on the host BLAS, measured on a SNP slice and scaled — i.e. "how many
+times faster than a well-tuned CPU implementation of the reference's
+kernel is one TPU chip".
+
+Usage: python bench.py [--n N] [--p P] [--dtype float32|bfloat16]
+       [--reps R] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--p", type=int, default=102400)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes for smoke-testing the harness")
+    args = ap.parse_args()
+    if args.quick:
+        args.n, args.p, args.reps = 256, 8192, 2
+
+    import jax
+    import jax.numpy as jnp
+    from eagleeverything_tpu.ops import kernels
+
+    n, p = args.n, args.p
+    rng = np.random.default_rng(0)
+
+    # genotype tiles on device (SNP-major), recoded once like the engine does
+    g = rng.integers(0, 3, size=(p, n), dtype=np.int8)
+    Wt = kernels.recode_impute_tile(jnp.asarray(g), compute_dtype=args.dtype)
+    Pm = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    Py = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s2g = jnp.float32(1.0)
+    score = (kernels.score_tile_bf16 if args.dtype == "bfloat16"
+             else kernels.score_tile)
+
+    # warm-up / compile
+    t0 = score(Wt, Pm, Py, s2g)
+    t0.block_until_ready()
+
+    times = []
+    for _ in range(args.reps):
+        start = time.perf_counter()
+        out = score(Wt, Pm, Py, s2g)
+        out.block_until_ready()
+        times.append(time.perf_counter() - start)
+    dev_secs = float(np.median(times))
+    snps_per_sec = p / dev_secs
+
+    # CPU baseline: same computation in NumPy on a slice, scaled
+    p_cpu = min(p, 8192)
+    Wc = (g[:p_cpu].astype(np.float32) - 1.0)
+    Pc = np.asarray(Pm, dtype=np.float32)
+    Pyc = np.asarray(Py, dtype=np.float32)
+    start = time.perf_counter()
+    ahat = Wc @ Pyc
+    WtP = Wc @ Pc
+    vara = np.sum(Wc * WtP, axis=1)
+    _ = np.where(vara > 1e-12, ahat**2 / vara, 0.0)
+    cpu_secs = time.perf_counter() - start
+    cpu_snps_per_sec = p_cpu / cpu_secs
+
+    backend = jax.default_backend()
+    print(json.dumps({
+        "metric": "snps_scored_per_sec_per_chip",
+        "value": round(snps_per_sec, 1),
+        "unit": "SNPs/s",
+        "vs_baseline": round(snps_per_sec / cpu_snps_per_sec, 3),
+        "detail": {
+            "n_individuals": n,
+            "p_snps": p,
+            "dtype": args.dtype,
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+            "sweep_wallclock_s": round(dev_secs, 6),
+            "cpu_baseline_snps_per_sec": round(cpu_snps_per_sec, 1),
+            "sweep_gflops": round(2.0 * p * n * n / dev_secs / 1e9, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

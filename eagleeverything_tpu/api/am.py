@@ -1,0 +1,105 @@
+"""``am()`` — the multiple-locus forward-selection LMM scan.
+
+Reference: ``AM()`` (SURVEY.md §3.1, call stack §4.2). This is the driver:
+input validation and NA bookkeeping on the host, then dispatch to an
+engine — the dense float64 oracle or the TPU-native JAX engine (sharded
+MMt, device score sweeps, collective argmax) — both of which share the
+same host-f64 REML/extBIC decision path (models/reml_core).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from eagleeverything_tpu.api.common import prepare_inputs
+from eagleeverything_tpu.api.read import GenoHandle, MapHandle, PhenoHandle
+from eagleeverything_tpu.models import oracle
+from eagleeverything_tpu.models.oracle import AMResult
+from eagleeverything_tpu.utils.config import DEFAULT_CONFIG, EagleConfig
+
+
+def am(
+    trait: str,
+    geno: Union[GenoHandle, np.ndarray],
+    pheno: Union[PhenoHandle, dict, np.ndarray],
+    fformula: Optional[str] = None,
+    map: Optional[MapHandle] = None,
+    Zmat: Optional[np.ndarray] = None,
+    maxit: int = 40,
+    fixit: bool = False,
+    lam: float = 1.0,
+    quiet: bool = True,
+    engine: str = "auto",
+    config: EagleConfig = DEFAULT_CONFIG,
+) -> AMResult:
+    """Run the whole-genome multiple-locus scan (reference: ``AM()``).
+
+    Args:
+      trait: phenotype column name holding the trait.
+      geno: handle from :func:`read_marker` (or a raw int8 {0,1,2,-9} n×p
+        matrix for programmatic use).
+      pheno: handle from :func:`read_pheno`, a dict of named columns, or a
+        bare trait vector.
+      fformula: fixed-effects formula RHS over phenotype columns
+        (e.g. ``"age + sex"``); intercept is always included.
+      map: optional marker map; selected markers are reported with
+        name/chr/pos when given.
+      Zmat: optional incidence matrix linking trait records to genotyped
+        individuals (reference: ``ReadZmat``).
+      maxit: maximum forward-selection steps (reference default 40).
+      fixit: force exactly ``maxit`` selections, ignoring extBIC.
+      lam: extBIC sparsity weight λ/gamma (calibrate with :func:`fpr4am`).
+      engine: "auto" (JAX engine), "jax", "oracle", or "sharded"
+        (explicit multi-device shard_map path).
+    """
+    prep = prepare_inputs(trait, geno, pheno, fformula, Zmat)
+
+    if engine == "auto":
+        engine = "jax"
+    if engine == "oracle":
+        geno_raw = prep.handle.materialize()
+        if prep.keep_individuals is not None:
+            geno_raw = geno_raw[prep.keep_individuals]
+        res = oracle.forward_select(
+            prep.y, prep.X0, geno_raw, maxit=maxit, fixit=fixit,
+            lam_ebic=lam, Z=prep.Z, quiet=quiet,
+        )
+    elif engine in ("jax", "sharded"):
+        from eagleeverything_tpu.models import engine_jax
+        res = engine_jax.forward_select(
+            prep.y, prep.X0, prep.handle, maxit=maxit, fixit=fixit,
+            lam_ebic=lam, Z=prep.Z, quiet=quiet, config=config,
+            keep_records=prep.keep_individuals, sharded=(engine == "sharded"),
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    # enrich with map info (reference AMclass: Mrk/Chr/Pos)
+    res.trait_name = trait
+    res.dropped_records = prep.dropped
+    handle = prep.handle
+    if map is not None:
+        if map.p != handle.p:
+            raise ValueError(f"map has {map.p} rows but genotypes have {handle.p} SNPs")
+        res.marker_names = [map.marker_names[j] for j in res.indices]
+        res.chr = [str(map.chrom[j]) for j in res.indices]
+        res.pos = [float(map.pos[j]) for j in res.indices]
+    elif handle.marker_names is not None:
+        res.marker_names = [handle.marker_names[j] for j in res.indices]
+        res.chr = [str(handle.chrom[j]) for j in res.indices]
+        res.pos = [float(handle.pos[j]) for j in res.indices]
+    if not quiet:
+        _print_result(res)
+    return res
+
+
+def _print_result(res: AMResult) -> None:
+    print(f"\nAM scan complete: {len(res.indices)} marker(s) selected "
+          f"(n={res.n}, p={res.p}, lambda={res.lam_ebic})")
+    for rank, j in enumerate(res.indices):
+        name = res.marker_names[rank] if res.marker_names else f"snp[{j}]"
+        loc = (f" chr={res.chr[rank]} pos={res.pos[rank]:.0f}" if res.chr else "")
+        print(f"  {rank+1}. {name} (index {j}){loc} "
+              f"extBIC={res.extbic_path[rank+1]:.3f}")

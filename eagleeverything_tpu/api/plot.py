@@ -1,0 +1,98 @@
+"""``plot_am()`` — Manhattan-style plot of the per-SNP outlier statistics.
+
+Reference: ``PlotAM()`` (SURVEY.md §3.1): the outlier statistic by genomic
+position, chromosome-striped, colored by the iteration at which each SNP's
+statistic changed, selected markers highlighted. matplotlib replaces the
+reference's ggplot2/plotly stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from eagleeverything_tpu.api.read import MapHandle
+from eagleeverything_tpu.models.oracle import AMResult
+
+
+def plot_am(
+    res: AMResult,
+    map: Optional[MapHandle] = None,
+    itnum: Optional[int] = None,
+    save: Optional[str] = None,
+    show: bool = False,
+    chr_colors: tuple[str, str] = ("#3b4cc0", "#8ea0cc"),
+    type: str = "manhattan",
+):
+    """Plot the scan (reference: ``PlotAM()``).
+
+    Args:
+      res: result of :func:`am`.
+      map: marker map for chromosome striping; without it, SNP index is the
+        x axis.
+      itnum: which iteration's statistics to plot (default: last).
+      save: path to write the figure (PNG/PDF by extension).
+      show: call ``plt.show()``.
+      type: "manhattan" (t_j by position) or "trace" (extBIC trajectory).
+    Returns the matplotlib Figure.
+    """
+    import matplotlib
+    if save is not None and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if type == "trace":
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(range(len(res.extbic_path)), res.extbic_path, "o-")
+        ax.set_xlabel("iteration (markers in model)")
+        ax.set_ylabel("extBIC")
+        ax.set_title(f"extBIC trajectory — trait {res.trait_name}")
+    else:
+        if not res.outlier_stats:
+            raise ValueError("AMResult holds no outlier statistics to plot")
+        it = len(res.outlier_stats) - 1 if itnum is None else itnum
+        t = np.asarray(res.outlier_stats[it])
+        p = t.shape[0]
+        fig, ax = plt.subplots(figsize=(10, 4))
+        if map is not None:
+            chroms = np.asarray(map.chrom)
+            uniq = list(dict.fromkeys(chroms.tolist()))  # stable order
+            x = np.empty(p)
+            offset = 0.0
+            ticks, tick_labels = [], []
+            for ci, c in enumerate(uniq):
+                m = chroms == c
+                pos = np.asarray(map.pos)[m].astype(float)
+                span = pos.max() - pos.min() + 1 if m.sum() else 1.0
+                x[m] = offset + (pos - pos.min())
+                ax.scatter(x[m], t[m], s=6,
+                           color=chr_colors[ci % len(chr_colors)],
+                           linewidths=0)
+                ticks.append(offset + span / 2)
+                tick_labels.append(str(c))
+                offset += span * 1.02
+            ax.set_xticks(ticks)
+            ax.set_xticklabels(tick_labels)
+            ax.set_xlabel("chromosome")
+        else:
+            x = np.arange(p, dtype=float)
+            ax.scatter(x, t, s=6, color=chr_colors[0], linewidths=0)
+            ax.set_xlabel("SNP index")
+        for rank, j in enumerate(res.indices):
+            if j < p:
+                ax.scatter([x[j]], [t[j]], s=40, color="#d7342f", zorder=3)
+                ax.annotate(str(rank + 1), (x[j], t[j]),
+                            textcoords="offset points", xytext=(4, 4),
+                            fontsize=8, color="#d7342f")
+        ax.set_ylabel("outlier statistic $t_j$")
+        ax.set_title(
+            f"AM scan — trait {res.trait_name}, iteration {it}, "
+            f"{len(res.indices)} selected"
+        )
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=150)
+    if show:
+        plt.show()
+    return fig

@@ -1,0 +1,177 @@
+"""Data readers: genotypes, phenotypes, marker map, incidence matrix.
+
+Reference surface (SURVEY.md §3.1): ``ReadMarker()``, ``ReadPheno()``,
+``ReadMap()``, ``ReadZmat()``. ``read_marker`` returns a handle; small data
+stays in memory, large data goes to the sharded on-disk genotype store
+(the rebuild's analog of the reference's packed binary ``M``/``Mt`` files —
+the durable ingestion artifact, SURVEY.md §6.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from eagleeverything_tpu.io import parsers
+
+
+@dataclasses.dataclass
+class GenoHandle:
+    """Handle to ingested genotypes (reference: the list returned by
+    ``ReadMarker`` — paths + dims + availmemGb, SURVEY.md §3.1)."""
+
+    n: int
+    p: int
+    source: str
+    geno: Optional[np.ndarray] = None          # in-memory int8 (n, p), {0,1,2,-9}
+    store_dir: Optional[str] = None            # on-disk sharded store (out-of-core)
+    availmem_gb: float = 8.0
+    marker_names: Optional[list[str]] = None   # populated by VCF ingest
+    chrom: Optional[list[str]] = None
+    pos: Optional[list[int]] = None
+
+    def materialize(self) -> np.ndarray:
+        """Dense int8 (n, p) matrix — loads from the store if out-of-core."""
+        if self.geno is not None:
+            return self.geno
+        from eagleeverything_tpu.io.genostore import GenotypeStore
+        return GenotypeStore.open(self.store_dir).to_dense()
+
+
+@dataclasses.dataclass
+class PhenoHandle:
+    columns: dict[str, np.ndarray]
+    names: list[str]
+
+    @property
+    def n(self) -> int:
+        return len(next(iter(self.columns.values())))
+
+
+@dataclasses.dataclass
+class MapHandle:
+    marker_names: list[str]
+    chrom: np.ndarray
+    pos: np.ndarray
+
+    @property
+    def p(self) -> int:
+        return len(self.marker_names)
+
+
+def read_marker(
+    filename: str,
+    type: str = "text",
+    AA: str = "AA",
+    AB: str = "AB",
+    BB: str = "BB",
+    missing: str = "NA",
+    availmemGb: float = 8.0,
+    store_dir: Optional[str] = None,
+    n_shards: Optional[int] = None,
+) -> GenoHandle:
+    """Ingest genotypes (reference: ``ReadMarker()``, SURVEY.md §3.1/§4.1).
+
+    Args:
+      filename: genotype file path (for ``type='PLINK'`` the ``.ped`` file).
+      type: "text" (ASCII, spaced or no-space), "PLINK" (.ped), or "vcf".
+      AA/AB/BB/missing: genotype codes for ASCII input.
+      availmemGb: host-RAM block budget; files whose dense int8 matrix
+        exceeds this are ingested straight into the on-disk sharded store.
+      store_dir: force writing the sharded store here (out-of-core path).
+      n_shards: shard count for the store (default: local device count).
+    """
+    type_l = type.lower()
+    names = chrom = pos = None
+    if type_l in ("text", "ascii"):
+        blocks_iter = parsers.iter_ascii_blocks(filename, AA, AB, BB, missing)
+    elif type_l == "plink":
+        blocks_iter = parsers.iter_plink_ped_blocks(filename)
+    elif type_l == "vcf":
+        geno, names, chrom, pos = parsers.parse_vcf(filename)
+        blocks_iter = None
+    else:
+        raise ValueError(f"unknown genotype file type {type!r}")
+
+    if type_l != "vcf":
+        if store_dir is not None:
+            from eagleeverything_tpu.io.genostore import GenotypeStore
+            store = GenotypeStore.create_from_row_blocks(
+                store_dir, blocks_iter, n_shards=n_shards,
+                availmem_gb=availmemGb, source=filename,
+            )
+            return GenoHandle(n=store.n, p=store.p, source=filename,
+                              store_dir=store_dir, availmem_gb=availmemGb)
+        geno = np.vstack(list(blocks_iter))
+
+    if store_dir is not None and type_l == "vcf":
+        from eagleeverything_tpu.io.genostore import GenotypeStore
+        store = GenotypeStore.create_from_dense(
+            store_dir, geno, n_shards=n_shards, availmem_gb=availmemGb,
+            source=filename,
+        )
+        return GenoHandle(n=store.n, p=store.p, source=filename,
+                          store_dir=store_dir, availmem_gb=availmemGb,
+                          marker_names=names, chrom=chrom, pos=pos)
+
+    n, p = geno.shape
+    return GenoHandle(n=n, p=p, source=filename, geno=geno,
+                      availmem_gb=availmemGb, marker_names=names,
+                      chrom=chrom, pos=pos)
+
+
+def read_pheno(filename: str, missing: str = "NA") -> PhenoHandle:
+    """Read the phenotype table (reference: ``ReadPheno()``).
+
+    Space/tab-separated with a header row. Columns parse as float64 where
+    possible (missing → NaN); otherwise they stay as string factors.
+    """
+    with open(filename, "r") as f:
+        header = f.readline().split()
+        rows = [ln.split() for ln in f if ln.strip()]
+    if not header:
+        raise ValueError(f"empty phenotype file: {filename}")
+    ncol = len(header)
+    for r in rows:
+        if len(r) != ncol:
+            raise ValueError(
+                f"phenotype row has {len(r)} fields, header has {ncol}: {r[:4]}..."
+            )
+    cols: dict[str, np.ndarray] = {}
+    raw = np.array(rows, dtype=object)
+    for j, name in enumerate(header):
+        col = raw[:, j].astype(str)
+        try:
+            num = np.where(col == missing, "nan", col).astype(np.float64)
+            cols[name] = num
+        except ValueError:
+            cols[name] = col
+    return PhenoHandle(columns=cols, names=header)
+
+
+def read_map(filename: str) -> MapHandle:
+    """Read the marker map: Mrk Chr Pos (reference: ``ReadMap()``)."""
+    with open(filename, "r") as f:
+        header = f.readline().split()
+        rows = [ln.split() for ln in f if ln.strip()]
+    if len(header) < 3:
+        raise ValueError("map file needs at least 3 columns: Mrk Chr Pos")
+    names = [r[0] for r in rows]
+    chrom = np.array([r[1] for r in rows])
+    pos = np.array([float(r[2]) for r in rows])
+    return MapHandle(marker_names=names, chrom=chrom, pos=pos)
+
+
+def read_zmat(filename: str) -> np.ndarray:
+    """Read the 0/1 incidence matrix Z (reference: ``ReadZmat()``)."""
+    Z = np.loadtxt(filename)
+    if Z.ndim == 1:
+        Z = Z[None, :]
+    if not np.isin(Z, (0.0, 1.0)).all():
+        raise ValueError("Zmat entries must be 0/1")
+    if not np.allclose(Z.sum(axis=1), 1.0):
+        raise ValueError("each Zmat row must link a record to exactly one individual")
+    return Z.astype(np.float64)

@@ -1,0 +1,91 @@
+"""``summary_am()`` — post-fit inference on the selected model.
+
+Reference: ``SummaryAM()`` (SURVEY.md §3.1, call stack §4.4): pull the
+selected genotype columns, one extra REML fit at the final model, Wald
+tests / p-values / effect sizes / % variance explained, pretty tables.
+The n×n GLS algebra runs host-f64; the genomic kernel K comes from the
+device backend (so the store/out-of-core path needs no dense matrix).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+from scipy import stats as _stats
+
+from eagleeverything_tpu.api.common import prepare_inputs
+from eagleeverything_tpu.api.read import GenoHandle, PhenoHandle
+from eagleeverything_tpu.models import engine_jax, reml_core
+from eagleeverything_tpu.models.oracle import AMResult, WaldSummary
+from eagleeverything_tpu.utils.config import DEFAULT_CONFIG, EagleConfig
+
+
+def summary_am(
+    res: AMResult,
+    trait: str,
+    geno: Union[GenoHandle, np.ndarray],
+    pheno: Union[PhenoHandle, dict, np.ndarray],
+    fformula: Optional[str] = None,
+    Zmat: Optional[np.ndarray] = None,
+    quiet: bool = False,
+    config: EagleConfig = DEFAULT_CONFIG,
+) -> WaldSummary:
+    """Wald inference for each selected marker (reference: ``SummaryAM()``)."""
+    prep = prepare_inputs(trait, geno, pheno, fformula, Zmat)
+    y, X0, Z = prep.y, prep.X0, prep.Z
+
+    src = engine_jax._make_source(prep.handle, prep.keep_individuals)
+    backend = engine_jax.TiledScan(src, config)
+    K_raw = backend.compute_K()
+    s0 = float(np.mean(np.diag(K_raw)))
+    K = K_raw / (s0 if s0 > 0 else 1.0)
+
+    idx = list(res.indices)
+    Wcols = np.column_stack(
+        [engine_jax._impute_column_f64(src.column(j)) for j in idx]
+    ) if idx else np.zeros((src.n, 0))
+    if Z is not None:
+        K = Z @ K @ Z.T
+        Wcols = Z @ Wcols
+
+    X = np.hstack([X0, Wcols])
+    lam_s, eta2_s, _ = reml_core.spectral_inputs(y, X, K)
+    fit = reml_core.reml_maximize(lam_s, eta2_s)
+
+    n = y.shape[0]
+    V = fit.sigma2_g * K + fit.sigma2_e * np.eye(n)
+    Vinv = np.linalg.inv(V)
+    XtVinvX = X.T @ Vinv @ X
+    cov = np.linalg.inv(XtVinvX)
+    beta = cov @ (X.T @ (Vinv @ y))
+    q0 = X0.shape[1]
+    b = beta[q0:]
+    se = np.sqrt(np.diag(cov)[q0:])
+    wald = (b / se) ** 2
+    pval = _stats.chi2.sf(wald, df=1)
+    vary = float(np.var(y))
+    varexp = np.array(
+        [float(b[i] ** 2 * np.var(Wcols[:, i])) / vary if vary > 0 else 0.0
+         for i in range(len(idx))]
+    )
+    out = WaldSummary(
+        indices=idx, beta=b, se=se, wald=wald, pvalue=pval,
+        var_explained=varexp, sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e,
+    )
+    if not quiet:
+        _print_summary(out, res)
+    return out
+
+
+def _print_summary(s: WaldSummary, res: AMResult) -> None:
+    print(f"\nSummary of the {len(s.indices)}-marker model "
+          f"(trait: {res.trait_name})")
+    print(f"  sigma2_g = {s.sigma2_g:.6g}   sigma2_e = {s.sigma2_e:.6g}")
+    hdr = f"  {'marker':<16}{'index':>8}{'beta':>12}{'se':>10}{'Wald':>10}{'p':>12}{'%var':>8}"
+    print(hdr)
+    for i, j in enumerate(s.indices):
+        name = res.marker_names[i] if res.marker_names else f"snp[{j}]"
+        print(f"  {name:<16}{j:>8}{s.beta[i]:>12.4f}{s.se[i]:>10.4f}"
+              f"{s.wald[i]:>10.3f}{s.pvalue[i]:>12.3e}"
+              f"{100*s.var_explained[i]:>8.2f}")

@@ -1,0 +1,229 @@
+"""Text-format genotype parsers: ASCII (spaced / no-space), PLINK .ped, VCF.
+
+Reference: the native ``createM_ASCII_rcpp`` / ``createM_PLINK``-style /
+VCF ingest kernels (SURVEY.md §3.3, §4.1). These Python implementations are
+numpy-vectorized per line-block; a C ingest library (io/native) accelerates
+the ASCII hot path when built, with these as the always-available fallback.
+
+Output convention everywhere: int8 matrix, individuals × SNPs, coded
+{0,1,2} with missing = -9 (oracle.MISSING).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+MISSING = -9
+
+
+def _recode_tokens(tokens: np.ndarray, AA: str, AB: str, BB: str, missing: str) -> np.ndarray:
+    out = np.full(tokens.shape, MISSING, dtype=np.int8)
+    out[tokens == AA] = 0
+    out[tokens == AB] = 1
+    out[tokens == BB] = 2
+    known = (tokens == AA) | (tokens == AB) | (tokens == BB) | (tokens == missing)
+    if not known.all():
+        bad = tokens[~known][:5]
+        raise ValueError(
+            f"unrecognized genotype tokens {bad.tolist()} "
+            f"(expected AA={AA!r} AB={AB!r} BB={BB!r} missing={missing!r})"
+        )
+    return out
+
+
+def iter_ascii_blocks(
+    path: str,
+    AA: str = "AA",
+    AB: str = "AB",
+    BB: str = "BB",
+    missing: str = "NA",
+    block_rows: int = 4096,
+) -> Iterator[np.ndarray]:
+    """Stream an ASCII genotype file in row blocks (individuals-major).
+
+    Auto-detects no-space single-character coding (line has no separator and
+    AA/AB/BB are single chars is NOT required — no-space mode uses literal
+    characters '0','1','2' with anything else missing, unless the declared
+    codes are single characters, in which case those are used).
+    """
+    with open(path, "r") as f:
+        first = f.readline()
+        if not first:
+            return
+        nospace = " " not in first.strip() and "\t" not in first.strip()
+        f.seek(0)
+        buf: list[str] = []
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            buf.append(line)
+            if len(buf) >= block_rows:
+                yield _decode_ascii_block(buf, nospace, AA, AB, BB, missing)
+                buf = []
+        if buf:
+            yield _decode_ascii_block(buf, nospace, AA, AB, BB, missing)
+
+
+def _decode_ascii_block(
+    lines: list[str], nospace: bool, AA: str, AB: str, BB: str, missing: str
+) -> np.ndarray:
+    if nospace:
+        arr = np.frombuffer("".join(lines).encode("ascii"), dtype=np.uint8)
+        arr = arr.reshape(len(lines), -1)
+        if len(AA) == 1 and len(AB) == 1 and len(BB) == 1:
+            codes = (ord(AA), ord(AB), ord(BB))
+        else:
+            codes = (ord("0"), ord("1"), ord("2"))
+        out = np.full(arr.shape, MISSING, dtype=np.int8)
+        out[arr == codes[0]] = 0
+        out[arr == codes[1]] = 1
+        out[arr == codes[2]] = 2
+        return out
+    tokens = np.array([ln.split() for ln in lines], dtype=object)
+    return _recode_tokens(tokens.astype(str), AA, AB, BB, missing)
+
+
+def parse_ascii(path: str, AA="AA", AB="AB", BB="BB", missing="NA") -> np.ndarray:
+    blocks = list(iter_ascii_blocks(path, AA, AB, BB, missing))
+    if not blocks:
+        raise ValueError(f"empty genotype file: {path}")
+    return np.vstack(blocks)
+
+
+def iter_plink_ped_blocks(path: str, block_rows: int = 1024) -> Iterator[np.ndarray]:
+    """Stream a PLINK .ped file in row blocks.
+
+    Per line: FID IID PID MID SEX PHENO then 2 allele tokens per SNP;
+    '0' = missing allele. Allele orientation must not depend on row order,
+    so this is two-pass: pass 1 collects the (≤2) observed alleles per SNP;
+    the dose is then the count of the lexicographically larger allele —
+    deterministic, and only the sign of downstream effect estimates depends
+    on it (association statistics are orientation-invariant).
+    """
+    # ---- pass 1: per-SNP allele inventory ----
+    lo: Optional[np.ndarray] = None  # lexicographically smaller allele
+    hi: Optional[np.ndarray] = None  # lexicographically larger allele
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            alleles = np.array(parts[6:], dtype="U4")
+            if alleles.size % 2:
+                raise ValueError("odd allele count in .ped row")
+            a1, a2 = alleles[0::2], alleles[1::2]
+            if lo is None:
+                p = a1.shape[0]
+                lo = np.full(p, "", dtype="U4")
+                hi = np.full(p, "", dtype="U4")
+            for arr in (a1, a2):
+                valid = arr != "0"
+                empty = (lo == "") & valid
+                lo[empty] = arr[empty]
+                differs = valid & (lo != "") & (arr != lo)
+                new_hi = differs & (hi == "")
+                hi[new_hi] = arr[new_hi]
+                if np.any(differs & (hi != "") & (arr != hi)):
+                    raise ValueError("more than 2 alleles at a SNP in .ped")
+                # keep lo < hi lexicographically
+                both = (hi != "")
+                swap = both & (lo > hi)
+                lo[swap], hi[swap] = hi[swap], lo[swap]
+    if lo is None:
+        return
+    alt = np.where(hi != "", hi, "\x7f")  # monomorphic SNPs: dose stays 0
+
+    # ---- pass 2: decode doses ----
+    def decode(lines: list[str]) -> np.ndarray:
+        rows = []
+        for ln in lines:
+            parts = ln.split()
+            alleles = np.array(parts[6:], dtype="U4")
+            a1, a2 = alleles[0::2], alleles[1::2]
+            missing = (a1 == "0") | (a2 == "0")
+            dose = (a1 == alt).astype(np.int8) + (a2 == alt).astype(np.int8)
+            dose[missing] = MISSING
+            rows.append(dose)
+        return np.vstack(rows)
+
+    with open(path, "r") as f:
+        buf: list[str] = []
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            buf.append(line)
+            if len(buf) >= block_rows:
+                yield decode(buf)
+                buf = []
+        if buf:
+            yield decode(buf)
+
+
+def parse_plink_ped(path: str) -> np.ndarray:
+    blocks = list(iter_plink_ped_blocks(path))
+    if not blocks:
+        raise ValueError(f"empty .ped file: {path}")
+    return np.vstack(blocks)
+
+
+def iter_vcf_blocks(path: str, block_snps: int = 4096):
+    """Stream a VCF: yields (geno_block [n × b], names, chrom, pos) tuples.
+
+    VCF rows are SNPs (SNP-major on disk — the native layout for the
+    SNP-sharded store). Only the GT subfield is read; '.' calls → missing.
+    """
+    with open(path, "r") as f:
+        samples: Optional[list[str]] = None
+        rows: list[np.ndarray] = []
+        names: list[str] = []
+        chroms: list[str] = []
+        poss: list[int] = []
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                samples = line.split("\t")[9:]
+                continue
+            if samples is None:
+                raise ValueError("VCF data before #CHROM header")
+            parts = line.split("\t")
+            fmt = parts[8].split(":")
+            gt_idx = fmt.index("GT")
+            calls = parts[9:]
+            dose = np.empty(len(calls), dtype=np.int8)
+            for i, c in enumerate(calls):
+                gt = c.split(":")[gt_idx]
+                a = gt.replace("|", "/").split("/")
+                if "." in a or len(a) < 2:
+                    dose[i] = MISSING
+                else:
+                    dose[i] = min(int(a[0]), 1) + min(int(a[1]), 1)
+            rows.append(dose)
+            names.append(parts[2] if parts[2] != "." else f"{parts[0]}:{parts[1]}")
+            chroms.append(parts[0])
+            poss.append(int(parts[1]))
+            if len(rows) >= block_snps:
+                yield np.vstack(rows).T, names, chroms, poss
+                rows, names, chroms, poss = [], [], [], []
+        if rows:
+            yield np.vstack(rows).T, names, chroms, poss
+
+
+def parse_vcf(path: str):
+    """Parse a whole VCF → (geno [n×p] int8, marker_names, chrom, pos)."""
+    genos, names, chroms, poss = [], [], [], []
+    for g, nm, ch, po in iter_vcf_blocks(path):
+        genos.append(g)
+        names += nm
+        chroms += ch
+        poss += po
+    if not genos:
+        raise ValueError(f"no variant records in VCF: {path}")
+    return np.hstack(genos), names, chroms, poss

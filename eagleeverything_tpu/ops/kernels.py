@@ -1,0 +1,92 @@
+"""Jitted XLA kernels over SNP-major genotype tiles.
+
+These are the TPU-native equivalents of the reference's native hot loops
+(SURVEY.md §3.3):
+
+- :func:`recode_impute_tile` ← the on-the-fly recode/scale inside
+  ``calculateMMt_rcpp`` (genotype int8 → mean-imputed, het-centered float)
+- :func:`mmt_accumulate`     ← ``calculateMMt_rcpp`` (blocked M·Mᵀ)
+- :func:`score_tile`         ← ``calculate_a_and_vara_rcpp`` (per-SNP
+  BLUP â_j and var(â_j) → outlier statistic t_j)
+
+All kernels take SNP-major tiles ``Wt`` of shape (b, n) — one row per SNP —
+matching the store layout, so host→device transfers are contiguous and the
+GEMMs are large, static-shaped, and MXU-tileable. Accumulation is always
+float32 (``preferred_element_type``); the optional bfloat16 policy casts
+GEMM inputs only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MISSING = -9
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def recode_impute_tile(g_tile: jax.Array, compute_dtype: str = "float32") -> jax.Array:
+    """int8 (b, n) {0,1,2,-9} → W tile: mean-imputed per SNP, minus 1.
+
+    Per-SNP statistics are row-local to the tile, so imputation needs no
+    global pass. All-missing SNPs impute to the heterozygote (W = 0).
+    """
+    g = g_tile.astype(jnp.float32)
+    miss = g_tile == MISSING
+    cnt = jnp.sum(~miss, axis=1)
+    s = jnp.sum(jnp.where(miss, 0.0, g), axis=1)
+    mean = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 1.0)
+    W = jnp.where(miss, mean[:, None], g) - 1.0
+    return W.astype(jnp.dtype(compute_dtype))
+
+
+@jax.jit
+def mmt_accumulate(K: jax.Array, Wt: jax.Array) -> jax.Array:
+    """K (n,n) f32 += Wtᵀ·Wt for a SNP-major tile Wt (b, n).
+
+    The contraction runs over the tile's SNPs; summing over tiles gives the
+    full MMt (reference: the ReadBlock → GEMM → accumulate loop of
+    ``calculateMMt_rcpp``, SURVEY.md §4.2)."""
+    return K + jax.lax.dot_general(
+        Wt, Wt,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.jit
+def score_tile(
+    Wt: jax.Array, Pm: jax.Array, Py: jax.Array, sigma2_g: jax.Array
+) -> jax.Array:
+    """Outlier statistics t_j for one SNP-major tile Wt (b, n).
+
+      â_j      = (Wt · P̃y)_j
+      var(â_j) = σ²_g · (Wt · P̃ · Wtᵀ)_jj  — computed as rowsum(Wt ∘ WtP̃)
+      t_j      = â_j² / var(â_j)   (0 where var ≤ ε: monomorphic/padded SNPs)
+
+    One (b,n)×(n,n) GEMM + one matvec per tile; this is the dominant
+    per-iteration cost and the SNPs/s/chip north-star loop (BASELINE.md).
+    """
+    ahat = jnp.dot(Wt, Py, preferred_element_type=jnp.float32)
+    WtP = jnp.dot(Wt, Pm, preferred_element_type=jnp.float32)
+    vara = sigma2_g * jnp.sum(Wt.astype(jnp.float32) * WtP, axis=1)
+    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+
+
+@jax.jit
+def score_tile_bf16(
+    Wt: jax.Array, Pm: jax.Array, Py: jax.Array, sigma2_g: jax.Array
+) -> jax.Array:
+    """bfloat16-input variant of :func:`score_tile` (f32 accumulation).
+
+    Genotype values {−1,0,1} are exact in bf16; imputed means round to
+    ~2 decimal digits, which perturbs t_j at ~1e-2 relative — acceptable
+    for the scan argmax on well-separated signals, and ~2× MXU throughput.
+    """
+    Wb = Wt.astype(jnp.bfloat16)
+    ahat = jnp.dot(Wb, Py.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    WtP = jnp.dot(Wb, Pm.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    vara = sigma2_g * jnp.sum(Wt.astype(jnp.float32) * WtP, axis=1)
+    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)

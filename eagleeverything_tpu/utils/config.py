@@ -1,0 +1,58 @@
+"""Single-dataclass configuration for the engine (SURVEY.md §6.6).
+
+The reference exposes knobs only as function arguments (``availmemGb``,
+``ncpu``, ``ngpu``, ``maxit``, ``fixit``, ``lambda``); we keep that spirit —
+every public API function accepts plain arguments — and use this dataclass
+only for the machine-level knobs that have no reference analog (mesh shape,
+dtype policy, tile sizes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EagleConfig:
+    """Machine/runtime configuration.
+
+    Attributes:
+      mesh_shape: logical device mesh shape as ``(ind, snp)`` axis sizes.
+        ``None`` → 1-D mesh over all local devices on the ``snp`` axis
+        (SNP-sharding is the primary partition; SURVEY.md §3.4).
+      compute_dtype: dtype for the p-scale device sweeps ("bfloat16" or
+        "float32"). Accumulation is always float32
+        (``preferred_element_type``).
+      decision_dtype: dtype for the host-side decision path (REML 1-D
+        optimization, extBIC, projector formation). Kept at float64 on the
+        host CPU because forward selection is a discrete argmax and tiny
+        numeric drift flips markers (SURVEY.md §8 "hardest parts" (1)).
+      snp_tile: number of SNPs per streamed device tile for the out-of-core
+        path. Must be a multiple of 128 (lane width).
+      availmem_gb: host-RAM budget per block for out-of-core streaming —
+        the reference's ``availmemGb`` knob.
+      use_pallas: enable the fused Pallas score-sweep kernel where
+        applicable (TPU backend only; XLA fallback otherwise).
+      host_eigh_max_n: use host float64 ``scipy`` eigendecomposition when
+        n ≤ this threshold; above it, device float32 ``jnp.linalg.eigh``.
+      seed: base PRNG seed for permutation tests.
+    """
+
+    mesh_shape: Optional[Tuple[int, int]] = None
+    compute_dtype: str = "float32"
+    decision_dtype: str = "float64"
+    snp_tile: int = 8192
+    availmem_gb: float = 8.0
+    use_pallas: bool = True
+    host_eigh_max_n: int = 8192
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be float32|bfloat16, got {self.compute_dtype}")
+        if self.snp_tile % 128 != 0:
+            raise ValueError(f"snp_tile must be a multiple of 128, got {self.snp_tile}")
+
+
+DEFAULT_CONFIG = EagleConfig()
