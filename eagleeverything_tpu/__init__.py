@@ -34,6 +34,7 @@ from eagleeverything_tpu.api.am import am
 from eagleeverything_tpu.api.fpr import fpr4am
 from eagleeverything_tpu.api.summary import summary_am
 from eagleeverything_tpu.api.plot import plot_am
+from eagleeverything_tpu.gui import open_gui
 from eagleeverything_tpu.utils.config import EagleConfig
 
 __version__ = "0.1.0"
@@ -47,6 +48,7 @@ __all__ = [
     "fpr4am",
     "summary_am",
     "plot_am",
+    "open_gui",
     "EagleConfig",
     "__version__",
 ]

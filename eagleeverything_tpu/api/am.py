@@ -33,6 +33,9 @@ def am(
     quiet: bool = True,
     engine: str = "auto",
     config: EagleConfig = DEFAULT_CONFIG,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
+    log_jsonl: Optional[str] = None,
 ) -> AMResult:
     """Run the whole-genome multiple-locus scan (reference: ``AM()``).
 
@@ -72,6 +75,7 @@ def am(
             prep.y, prep.X0, prep.handle, maxit=maxit, fixit=fixit,
             lam_ebic=lam, Z=prep.Z, quiet=quiet, config=config,
             keep_records=prep.keep_individuals, sharded=(engine == "sharded"),
+            ckpt_dir=ckpt_dir, resume=resume, log_jsonl=log_jsonl,
         )
     else:
         raise ValueError(f"unknown engine {engine!r}")

@@ -60,36 +60,52 @@ def fpr4am(
     K = K_raw / (s0 if s0 > 0 else 1.0)
     K_eff = Z @ K @ Z.T if Z is not None else K
 
-    # shared across permutations: the null-model spectral basis (X0 fixed)
-    lam_spec, _, q = reml_core.spectral_inputs(y, X0, K_eff)
-    U = _null_basis(X0, K_eff, q)
+    # shared across ALL permutations: one eigendecomposition of the kernel
+    # (FaST-LMM basis) — every per-permutation REML fit is then O(n·q²)
+    d_eig, U = np.linalg.eigh(K_eff)
+    d_eig = np.maximum(d_eig, 0.0)
+    Xs0 = U.T @ X0
 
     rng = np.random.default_rng(seed)
     log_choose_p1 = math.log(p)
     lam_crits = np.empty(numreps)
-    for r in range(numreps):
-        y_perm = rng.permutation(y)
-        eta = U.T @ y_perm
-        fit0 = reml_core.reml_maximize(lam_spec, eta * eta)
 
-        Pm = engine_jax._projector(X0, K_eff, fit0.delta)
-        Py = Pm @ y_perm
-        Pm_g = Z.T @ Pm @ Z if Z is not None else Pm
-        Py_g = Z.T @ Py if Z is not None else Py
-        t = backend.sweep(Pm_g, Py_g, fit0.sigma2_g)
-        cand = int(np.argmax(t))
-
-        w_col = engine_jax._impute_column_f64(src.column(cand))
-        x_col = Z @ w_col if Z is not None else w_col
-        X1 = np.hstack([X0, x_col[:, None]])
-        lam1, eta21, _ = reml_core.spectral_inputs(y_perm, X1, K_eff)
-        fit1 = reml_core.reml_maximize(lam1, eta21)
-
-        lam_crits[r] = (2.0 * (fit1.loglik - fit0.loglik) - math.log(n)) / (
-            2.0 * log_choose_p1
+    # permutations are batched through the device sweep (SURVEY.md §4.3:
+    # "batch permutations as a leading axis"); chunk size bounds the
+    # (B, n, n) projector-factor stack and the (B, tile, n) intermediates
+    chunk = max(1, min(numreps, int(2e8 / max(n * n, 1))))
+    for c0 in range(0, numreps, chunk):
+        B = min(chunk, numreps - c0)
+        y_perms = np.stack([rng.permutation(y) for _ in range(B)])
+        fits0 = []
+        ystars = np.empty((B, n))
+        Lps = np.empty((B, src.n if Z is not None else n, n))
+        Pys = np.empty((B, src.n if Z is not None else n))
+        for b in range(B):
+            ystars[b] = U.T @ y_perms[b]
+            fit0 = reml_core.reml_maximize_diag(d_eig, ystars[b], Xs0)
+            fits0.append(fit0)
+            M = engine_jax._projector_factor_diag(U, d_eig, Xs0, fit0.delta)
+            Py = M @ (M.T @ y_perms[b])
+            Lps[b] = Z.T @ M if Z is not None else M
+            Pys[b] = Z.T @ Py if Z is not None else Py
+        t_all = backend.sweep_batched(
+            Lps, Pys, np.array([f.sigma2_g for f in fits0])
         )
-        if not quiet:
-            print(f"[fpr4am] rep={r} cand={cand} lambda_crit={lam_crits[r]:.4f}")
+        for b in range(B):
+            r = c0 + b
+            fit0 = fits0[b]
+            cand = int(np.argmax(t_all[b]))
+            w_col = engine_jax._impute_column_f64(src.column(cand))
+            x_col = Z @ w_col if Z is not None else w_col
+            Xs1 = np.hstack([Xs0, (U.T @ x_col)[:, None]])
+            fit1 = reml_core.reml_maximize_diag(d_eig, ystars[b], Xs1)
+            lam_crits[r] = (
+                2.0 * (fit1.loglik - fit0.loglik) - math.log(n)
+            ) / (2.0 * log_choose_p1)
+            if not quiet:
+                print(f"[fpr4am] rep={r} cand={cand} "
+                      f"lambda_crit={lam_crits[r]:.4f}")
 
     # λ* = (1-α) quantile; FPR(λ*) = P(λ_crit > λ*) ≈ α
     lam_star = float(np.quantile(lam_crits, 1.0 - falseposrate))
@@ -104,12 +120,3 @@ def fpr4am(
     }
 
 
-def _null_basis(X0: np.ndarray, K: np.ndarray, q: int) -> np.ndarray:
-    """Eigenvector basis U of S(K+I)S restricted to the top n−q eigenpairs
-    (the permutation-invariant part of the REML spectral inputs)."""
-    n = K.shape[0]
-    S = np.eye(n) - X0 @ np.linalg.pinv(X0)
-    A = S @ (K + np.eye(n)) @ S
-    A = 0.5 * (A + A.T)
-    _, U = np.linalg.eigh(A)
-    return U[:, q:]

@@ -72,51 +72,85 @@ def read_marker(
     availmemGb: float = 8.0,
     store_dir: Optional[str] = None,
     n_shards: Optional[int] = None,
+    packed: bool = False,
 ) -> GenoHandle:
     """Ingest genotypes (reference: ``ReadMarker()``, SURVEY.md §3.1/§4.1).
 
     Args:
-      filename: genotype file path (for ``type='PLINK'`` the ``.ped`` file).
-      type: "text" (ASCII, spaced or no-space), "PLINK" (.ped), or "vcf".
+      filename: genotype file path. For ``type='PLINK'`` either a text
+        ``.ped`` or a binary ``.bed`` (with ``.bim``/``.fam`` companions).
+      type: "text" (ASCII, spaced or no-space), "PLINK", or "vcf".
       AA/AB/BB/missing: genotype codes for ASCII input.
-      availmemGb: host-RAM block budget; files whose dense int8 matrix
-        exceeds this are ingested straight into the on-disk sharded store.
-      store_dir: force writing the sharded store here (out-of-core path).
+      availmemGb: host-RAM block budget for out-of-core ingestion.
+      store_dir: write the sharded on-disk store here (out-of-core path);
+        otherwise genotypes stay in memory.
       n_shards: shard count for the store (default: local device count).
+      packed: store shards 2-bit packed (4× smaller; reference's
+        packed-binary spirit).
     """
+    from eagleeverything_tpu.io.genostore import GenotypeStore
+
     type_l = type.lower()
     names = chrom = pos = None
+    is_bed = type_l == "plink" and filename.endswith(".bed")
+
     if type_l in ("text", "ascii"):
         blocks_iter = parsers.iter_ascii_blocks(filename, AA, AB, BB, missing)
+    elif is_bed:
+        names, chrom, pos = parsers.read_plink_bim(filename)
+        blocks_iter = None
     elif type_l == "plink":
         blocks_iter = parsers.iter_plink_ped_blocks(filename)
     elif type_l == "vcf":
-        geno, names, chrom, pos = parsers.parse_vcf(filename)
         blocks_iter = None
     else:
         raise ValueError(f"unknown genotype file type {type!r}")
 
-    if type_l != "vcf":
-        if store_dir is not None:
-            from eagleeverything_tpu.io.genostore import GenotypeStore
+    if store_dir is not None:
+        if is_bed:
+            base = filename[:-4]
+            with open(base + ".fam") as f:
+                n = sum(1 for ln in f if ln.strip())
+            store = GenotypeStore.create_from_snp_blocks(
+                store_dir, parsers.iter_plink_bed_blocks(filename),
+                n=n, p=len(names), n_shards=n_shards, packed=packed,
+                source=filename,
+            )
+        elif type_l == "vcf":
+            # stream VCF SNP-major straight into the store (no transpose)
+            names, chrom, pos = [], [], []
+
+            def vcf_blocks():
+                off = 0
+                for g, nm, ch, po in parsers.iter_vcf_blocks(filename):
+                    names.extend(nm)
+                    chrom.extend(ch)
+                    pos.extend(po)
+                    yield off, g.T
+                    off += g.shape[1]
+
+            blocks = list(vcf_blocks())
+            n = blocks[0][1].shape[1] if blocks else 0
+            store = GenotypeStore.create_from_snp_blocks(
+                store_dir, iter(blocks), n=n, p=len(names),
+                n_shards=n_shards, packed=packed, source=filename,
+            )
+        else:
             store = GenotypeStore.create_from_row_blocks(
                 store_dir, blocks_iter, n_shards=n_shards,
-                availmem_gb=availmemGb, source=filename,
+                availmem_gb=availmemGb, packed=packed, source=filename,
             )
-            return GenoHandle(n=store.n, p=store.p, source=filename,
-                              store_dir=store_dir, availmem_gb=availmemGb)
-        geno = np.vstack(list(blocks_iter))
-
-    if store_dir is not None and type_l == "vcf":
-        from eagleeverything_tpu.io.genostore import GenotypeStore
-        store = GenotypeStore.create_from_dense(
-            store_dir, geno, n_shards=n_shards, availmem_gb=availmemGb,
-            source=filename,
-        )
         return GenoHandle(n=store.n, p=store.p, source=filename,
                           store_dir=store_dir, availmem_gb=availmemGb,
-                          marker_names=names, chrom=chrom, pos=pos)
+                          marker_names=names or None,
+                          chrom=chrom or None, pos=pos or None)
 
+    if is_bed:
+        geno = parsers.parse_plink_bed(filename)
+    elif type_l == "vcf":
+        geno, names, chrom, pos = parsers.parse_vcf(filename)
+    else:
+        geno = np.vstack(list(blocks_iter))
     n, p = geno.shape
     return GenoHandle(n=n, p=p, source=filename, geno=geno,
                       availmem_gb=availmemGb, marker_names=names,

@@ -55,8 +55,19 @@ def main(argv=None) -> int:
     am_p.add_argument("--lambda", dest="lam", type=float, default=1.0)
     am_p.add_argument("--plot", default=None, help="write Manhattan plot here")
     am_p.add_argument("--json", default=None, help="write result JSON here")
+    am_p.add_argument("--ckpt-dir", default=None,
+                      help="checkpoint dir (MMt cache + scan state)")
+    am_p.add_argument("--resume", action="store_true",
+                      help="resume a checkpointed scan")
+    am_p.add_argument("--log-jsonl", default=None,
+                      help="structured per-iteration metrics file")
     am_p.add_argument("--summary", action="store_true",
                       help="also print SummaryAM-style Wald table")
+
+    gui_p = sub.add_parser("gui", help="launch the browser GUI (OpenGUI analog)")
+    gui_p.add_argument("--host", default="127.0.0.1")
+    gui_p.add_argument("--port", type=int, default=8765)
+    gui_p.add_argument("--no-browser", action="store_true")
 
     fpr_p = sub.add_parser("fpr4am", help="calibrate extBIC lambda by permutation")
     add_scan_args(fpr_p)
@@ -65,6 +76,8 @@ def main(argv=None) -> int:
     fpr_p.add_argument("--seed", type=int, default=0)
 
     args = ap.parse_args(argv)
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
     try:
         return _run(args)
     except (KeyError, ValueError, FileNotFoundError) as e:
@@ -82,6 +95,12 @@ def _run(args) -> int:
               f"QTL at {sim.qtl_idx.tolist()})")
         return 0
 
+    if args.cmd == "gui":
+        from eagleeverything_tpu.gui import open_gui
+        open_gui(host=args.host, port=args.port,
+                 open_browser=not args.no_browser, block=True)
+        return 0
+
     # scan-style commands share the data loading
     import eagleeverything_tpu as ee
 
@@ -96,7 +115,9 @@ def _run(args) -> int:
         res = ee.am(trait=args.trait, geno=geno, pheno=pheno,
                     fformula=args.fformula, map=map_h, Zmat=zmat,
                     maxit=args.maxit, fixit=args.fixit, lam=args.lam,
-                    quiet=False, engine=args.engine)
+                    quiet=False, engine=args.engine,
+                    ckpt_dir=args.ckpt_dir, resume=args.resume,
+                    log_jsonl=args.log_jsonl)
         if args.summary:
             ee.summary_am(res, trait=args.trait, geno=geno, pheno=pheno,
                           fformula=args.fformula, Zmat=zmat)

@@ -186,6 +186,32 @@ def write_plink_ped(sim: SimData, ped_path: str, map_path: str) -> None:
             f.write(f"{c} {name} 0 {bp}\n")
 
 
+def write_plink_bed(sim: SimData, bed_path: str) -> None:
+    """Binary PLINK .bed/.bim/.fam trio (SNP-major, 2-bit).
+
+    Codes per PLINK spec: 00=hom A1, 01=missing, 10=het, 11=hom A2, with
+    dose = count of A1, so dose {2,1,0,missing} → {00,10,11,01}.
+    """
+    base = bed_path[:-4] if bed_path.endswith(".bed") else bed_path
+    n, p = sim.geno.shape
+    code = {2: 0b00, -9: 0b01, 1: 0b10, 0: 0b11}
+    with open(base + ".bed", "wb") as f:
+        f.write(bytes([0x6C, 0x1B, 0x01]))
+        bpr = (n + 3) // 4
+        for j in range(p):
+            row = bytearray(bpr)
+            for i in range(n):
+                row[i >> 2] |= code[int(sim.geno[i, j])] << (2 * (i & 3))
+            f.write(bytes(row))
+    with open(base + ".bim", "w") as f:
+        for name, c, bp in zip(sim.marker_names, sim.chrom, sim.pos):
+            f.write(f"{c}\t{name}\t0\t{bp}\tA\tB\n")
+    with open(base + ".fam", "w") as f:
+        for i in range(n):
+            f.write(f"FAM{i+1} IND{i+1} 0 0 {1 + int(sim.group[i])} "
+                    f"{sim.y[i]:.6f}\n")
+
+
 def write_vcf(sim: SimData, path: str) -> None:
     """Minimal VCF with GT fields (reference: ``ReadMarker(type='vcf')``).
 

@@ -1,0 +1,237 @@
+"""``open_gui()`` — browser front end for the scan workflow.
+
+Reference: the Shiny app under ``inst/shiny_app/`` launched by
+``OpenGUI()`` (SURVEY.md §3.1/§3.5/§4.5): tabs for reading geno/pheno/map,
+running AM, and viewing summary + plots, wrapping the exported API 1:1.
+The rebuild is a dependency-free stdlib ``http.server`` single-page app;
+unlike the reference (where a long AM run blocks the reactive loop,
+SURVEY.md §4.5), scans run on a worker thread and the page polls status.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+_STATE = {
+    "geno": None, "pheno": None, "map": None,
+    "running": False, "log": [], "result": None, "summary": None,
+    "error": None,
+}
+_LOCK = threading.Lock()
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>eagle-tpu</title><style>
+body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
+fieldset{margin-bottom:1rem;border:1px solid #ccc;border-radius:6px}
+label{display:inline-block;min-width:9rem;margin:.2rem 0}
+input[type=text]{width:24rem}button{margin:.3rem .2rem;padding:.4rem .9rem}
+pre{background:#f6f6f6;padding: .7rem;border-radius:6px;overflow-x:auto}
+img{max-width:100%%;border:1px solid #ddd;border-radius:6px}
+.err{color:#b00}
+</style></head><body>
+<h1>eagle-tpu — multiple-locus association mapping</h1>
+<fieldset><legend>1. Data</legend>
+<label>Genotype file</label><input type=text id=geno placeholder="examples/tutorial/geno.txt">
+<select id=gtype><option>text</option><option>PLINK</option><option>vcf</option></select><br>
+<label>Phenotype file</label><input type=text id=pheno placeholder="examples/tutorial/pheno.txt"><br>
+<label>Map file</label><input type=text id=mapf placeholder="examples/tutorial/map.txt (optional)"><br>
+<button onclick="readData()">Read data</button>
+<pre id=readout>no data loaded</pre></fieldset>
+<fieldset><legend>2. Scan (AM)</legend>
+<label>Trait</label><input type=text id=trait placeholder="y"><br>
+<label>Fixed effects</label><input type=text id=fformula placeholder="age + sex (optional)"><br>
+<label>maxit</label><input type=text id=maxit value="40">
+<label>lambda</label><input type=text id=lam value="1.0"><br>
+<button onclick="runAM()">Run AM</button>
+<pre id=amout>not run</pre></fieldset>
+<fieldset><legend>3. Results</legend>
+<button onclick="loadSummary()">Summary (Wald tests)</button>
+<button onclick="document.getElementById('manh').src='/api/plot.png?'+Date.now()">Manhattan plot</button>
+<pre id=sumout></pre><img id=manh></fieldset>
+<script>
+async function post(u,b){const r=await fetch(u,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(b)});return r.json()}
+async function readData(){
+ const r=await post('/api/read',{geno:geno.value,gtype:gtype.value,pheno:pheno.value,map:mapf.value});
+ readout.textContent=JSON.stringify(r,null,1); readout.className=r.error?'err':''}
+async function runAM(){
+ amout.textContent='running...';
+ await post('/api/am',{trait:trait.value,fformula:fformula.value,maxit:maxit.value,lam:lam.value});
+ poll()}
+async function poll(){
+ const r=await (await fetch('/api/status')).json();
+ amout.textContent=(r.log||[]).join('\\n')+(r.error?'\\nERROR: '+r.error:'');
+ amout.className=r.error?'err':'';
+ if(r.running){setTimeout(poll,1500)}else if(r.result){amout.textContent+='\\n'+JSON.stringify(r.result,null,1)}}
+async function loadSummary(){
+ const r=await (await fetch('/api/summary')).json();
+ sumout.textContent=JSON.stringify(r,null,1); sumout.className=r.error?'err':''}
+</script></body></html>"""
+
+
+def _json_out(handler, obj, code=200):
+    body = json.dumps(obj).encode()
+    handler.send_response(code)
+    handler.send_header("Content-Type", "application/json")
+    handler.send_header("Content-Length", str(len(body)))
+    handler.end_headers()
+    handler.wfile.write(body)
+
+
+def _do_read(params):
+    import eagleeverything_tpu as ee
+    with _LOCK:
+        _STATE["geno"] = ee.read_marker(params["geno"],
+                                        type=params.get("gtype", "text"))
+        _STATE["pheno"] = ee.read_pheno(params["pheno"])
+        _STATE["map"] = (ee.read_map(params["map"])
+                         if params.get("map") else None)
+        g, ph = _STATE["geno"], _STATE["pheno"]
+    return {"genotypes": f"{g.n} individuals x {g.p} SNPs",
+            "phenotype_columns": ph.names,
+            "map": "loaded" if _STATE["map"] else "none"}
+
+
+def _run_am(params):
+    import eagleeverything_tpu as ee
+    try:
+        res = ee.am(
+            trait=params["trait"],
+            geno=_STATE["geno"], pheno=_STATE["pheno"],
+            fformula=params.get("fformula") or None,
+            map=_STATE["map"],
+            maxit=int(params.get("maxit") or 40),
+            lam=float(params.get("lam") or 1.0),
+            quiet=True,
+        )
+        with _LOCK:
+            _STATE["result"] = res
+            _STATE["log"].append(
+                f"done: {len(res.indices)} markers selected")
+    except Exception as e:
+        with _LOCK:
+            _STATE["error"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc()
+    finally:
+        with _LOCK:
+            _STATE["running"] = False
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet server logs
+        pass
+
+    def do_GET(self):
+        if self.path == "/" or self.path.startswith("/index"):
+            body = _PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path.startswith("/api/status"):
+            with _LOCK:
+                res = _STATE["result"]
+                out = {
+                    "running": _STATE["running"],
+                    "log": list(_STATE["log"]),
+                    "error": _STATE["error"],
+                    "result": None if res is None else {
+                        "indices": res.indices,
+                        "marker_names": res.marker_names,
+                        "chr": res.chr, "pos": res.pos,
+                        "extbic_path": res.extbic_path,
+                        "sigma2_g": res.sigma2_g, "sigma2_e": res.sigma2_e,
+                    },
+                }
+            _json_out(self, out)
+        elif self.path.startswith("/api/summary"):
+            try:
+                import eagleeverything_tpu as ee
+                res = _STATE["result"]
+                if res is None:
+                    raise ValueError("run AM first")
+                s = ee.summary_am(res, trait=res.trait_name,
+                                  geno=_STATE["geno"], pheno=_STATE["pheno"],
+                                  quiet=True)
+                _json_out(self, {
+                    "indices": s.indices, "beta": s.beta.tolist(),
+                    "se": s.se.tolist(), "wald": s.wald.tolist(),
+                    "pvalue": s.pvalue.tolist(),
+                    "pct_var_explained": (100 * s.var_explained).tolist(),
+                    "sigma2_g": s.sigma2_g, "sigma2_e": s.sigma2_e,
+                })
+            except Exception as e:
+                _json_out(self, {"error": f"{type(e).__name__}: {e}"})
+        elif self.path.startswith("/api/plot.png"):
+            try:
+                import eagleeverything_tpu as ee
+                res = _STATE["result"]
+                if res is None:
+                    raise ValueError("run AM first")
+                fig = ee.plot_am(res, map=_STATE["map"])
+                buf = io.BytesIO()
+                fig.savefig(buf, format="png", dpi=120)
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                _json_out(self, {"error": f"{type(e).__name__}: {e}"}, 500)
+        else:
+            _json_out(self, {"error": "not found"}, 404)
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        params = json.loads(self.rfile.read(length) or b"{}")
+        if self.path.startswith("/api/read"):
+            try:
+                _json_out(self, _do_read(params))
+            except Exception as e:
+                _json_out(self, {"error": f"{type(e).__name__}: {e}"})
+        elif self.path.startswith("/api/am"):
+            with _LOCK:
+                if _STATE["running"]:
+                    _json_out(self, {"error": "a scan is already running"})
+                    return
+                if _STATE["geno"] is None:
+                    _json_out(self, {"error": "read data first"})
+                    return
+                _STATE.update(running=True, result=None, error=None,
+                              log=[f"scan started: trait={params.get('trait')}"])
+            threading.Thread(target=_run_am, args=(params,),
+                             daemon=True).start()
+            _json_out(self, {"started": True})
+        else:
+            _json_out(self, {"error": "not found"}, 404)
+
+
+def open_gui(host: str = "127.0.0.1", port: int = 8765,
+             open_browser: bool = True, block: bool = True
+             ) -> Optional[ThreadingHTTPServer]:
+    """Launch the GUI (reference: ``OpenGUI()``). Serves on
+    http://host:port; ``block=False`` returns the server (for tests)."""
+    server = ThreadingHTTPServer((host, port), _Handler)
+    print(f"eagle-tpu GUI: http://{host}:{server.server_address[1]}/")
+    if open_browser:
+        try:
+            import webbrowser
+            webbrowser.open(f"http://{host}:{server.server_address[1]}/")
+        except Exception:
+            pass
+    if block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return None
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

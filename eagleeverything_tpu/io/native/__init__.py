@@ -1,0 +1,159 @@
+"""ctypes bindings for the native ingest library (ingest.cpp).
+
+The library is compiled lazily on first use (g++ is baked into the image)
+and cached next to the source; every consumer falls back to the pure-Python
+parsers when the toolchain or binary is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "ingest.cpp")
+_SO = os.path.join(_HERE, "libeagleingest.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+           _SRC, "-o", _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not _build():
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.ee_ascii_open.restype = ctypes.c_void_p
+        lib.ee_ascii_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ee_ascii_next.restype = ctypes.c_int64
+        lib.ee_ascii_next.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.ee_ascii_close.restype = None
+        lib.ee_ascii_close.argtypes = [ctypes.c_void_p]
+        lib.ee_pack2.restype = None
+        lib.ee_pack2.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.ee_unpack2.restype = None
+        lib.ee_unpack2.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def iter_ascii_blocks_native(
+    path: str, AA: str, AB: str, BB: str, missing: str,
+    block_rows: int = 4096,
+) -> Optional[Iterator[np.ndarray]]:
+    """Native streamed ASCII recode; None if the library is unavailable or
+    the codes don't fit the native fast path (multi-char no-space codes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    n_rows = ctypes.c_int64()
+    n_cols = ctypes.c_int64()
+    nospace = ctypes.c_int()
+    handle = lib.ee_ascii_open(
+        path.encode(), AA.encode(), AB.encode(), BB.encode(),
+        missing.encode(), ctypes.byref(n_rows), ctypes.byref(n_cols),
+        ctypes.byref(nospace),
+    )
+    if not handle:
+        raise ValueError(f"empty or unreadable genotype file: {path}")
+    if nospace.value and not (len(AA) == len(AB) == len(BB) == 1):
+        # native LUT path needs single-char codes; caller falls back
+        lib.ee_ascii_close(handle)
+        return None
+
+    def gen():
+        p = n_cols.value
+        try:
+            while True:
+                buf = np.empty((block_rows, p), dtype=np.int8)
+                got = lib.ee_ascii_next(handle, buf, block_rows)
+                if got < 0:
+                    raise ValueError(
+                        f"unrecognized genotype token at data row "
+                        f"{-got} of a block in {path}"
+                    )
+                if got == 0:
+                    break
+                yield buf[:got]
+        finally:
+            lib.ee_ascii_close(handle)
+
+    return gen()
+
+
+def pack2(geno: np.ndarray) -> np.ndarray:
+    """int8 {0,1,2,-9} → 2-bit packed bytes (missing = code 3)."""
+    flat = np.ascontiguousarray(geno, dtype=np.int8).reshape(-1)
+    out = np.empty((flat.size + 3) // 4, dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        lib.ee_pack2(flat, out, flat.size)
+        return out
+    codes = np.where(flat == -9, 3, flat).astype(np.uint8)
+    pad = (-codes.size) % 4
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
+    q = codes.reshape(-1, 4)
+    return (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).astype(np.uint8)
+
+
+def unpack2(packed: np.ndarray, count: int) -> np.ndarray:
+    """Inverse of :func:`pack2`: 2-bit codes → int8 {0,1,2,-9}."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(count, dtype=np.int8)
+    lib = get_lib()
+    if lib is not None:
+        lib.ee_unpack2(packed, out, count)
+        return out
+    b = packed[: (count + 3) // 4]
+    codes = np.stack([(b >> s) & 3 for s in (0, 2, 4, 6)], axis=1).reshape(-1)[:count]
+    return np.where(codes == 3, -9, codes).astype(np.int8)

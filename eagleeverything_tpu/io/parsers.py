@@ -40,14 +40,27 @@ def iter_ascii_blocks(
     BB: str = "BB",
     missing: str = "NA",
     block_rows: int = 4096,
+    use_native: bool = True,
 ) -> Iterator[np.ndarray]:
     """Stream an ASCII genotype file in row blocks (individuals-major).
 
-    Auto-detects no-space single-character coding (line has no separator and
-    AA/AB/BB are single chars is NOT required — no-space mode uses literal
-    characters '0','1','2' with anything else missing, unless the declared
-    codes are single characters, in which case those are used).
+    Uses the native C++ ingest library (io/native, the rebuild's
+    ``createM_ASCII_rcpp`` analog) when available; this numpy fallback
+    otherwise. Auto-detects no-space single-character coding (line has no
+    separator; the declared codes are used when they are single characters,
+    else literal '0','1','2' with anything else missing).
     """
+    if use_native:
+        from eagleeverything_tpu.io import native
+        try:
+            it = native.iter_ascii_blocks_native(
+                path, AA, AB, BB, missing, block_rows
+            )
+        except ValueError:
+            raise
+        if it is not None:
+            yield from it
+            return
     with open(path, "r") as f:
         first = f.readline()
         if not first:
@@ -168,6 +181,73 @@ def parse_plink_ped(path: str) -> np.ndarray:
     if not blocks:
         raise ValueError(f"empty .ped file: {path}")
     return np.vstack(blocks)
+
+
+def iter_plink_bed_blocks(
+    bed_path: str, block_snps: int = 4096
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Stream a binary PLINK .bed file in SNP-major blocks.
+
+    Yields (snp_offset, int8 block (b, n)) — already SNP-major, the native
+    layout for the sharded genotype store (SURVEY.md §3.3 "PLINK ingest":
+    .bed's 2-bit packing is near-isomorphic to the target shard format).
+
+    .bed layout: magic 0x6c 0x1b, mode 0x01 (SNP-major), then per SNP
+    ceil(n/4) bytes of 2-bit codes: 00=hom A1, 01=missing, 10=het,
+    11=hom A2. Dose counts A1 (the PLINK minor-allele convention):
+    00→2, 10→1, 11→0, 01→missing.
+    """
+    import os
+    base = bed_path[:-4] if bed_path.endswith(".bed") else bed_path
+    fam, bim = base + ".fam", base + ".bim"
+    if not (os.path.exists(fam) and os.path.exists(bim)):
+        raise ValueError(f".bed needs companion {fam} and {bim}")
+    with open(fam) as f:
+        n = sum(1 for ln in f if ln.strip())
+    with open(bim) as f:
+        p = sum(1 for ln in f if ln.strip())
+    bpr = (n + 3) // 4  # bytes per SNP row
+    lut = np.empty(4, dtype=np.int8)
+    lut[0b00], lut[0b01], lut[0b10], lut[0b11] = 2, MISSING, 1, 0
+    with open(bed_path, "rb") as f:
+        magic = f.read(3)
+        if magic[:2] != b"\x6c\x1b":
+            raise ValueError(f"{bed_path}: bad .bed magic")
+        if magic[2] != 1:
+            raise ValueError(f"{bed_path}: only SNP-major .bed supported")
+        for j0 in range(0, p, block_snps):
+            b = min(block_snps, p - j0)
+            raw = np.frombuffer(f.read(b * bpr), dtype=np.uint8)
+            if raw.size != b * bpr:
+                raise ValueError(f"{bed_path}: truncated at SNP {j0}")
+            raw = raw.reshape(b, bpr)
+            codes = np.stack(
+                [(raw >> s) & 3 for s in (0, 2, 4, 6)], axis=2
+            ).reshape(b, bpr * 4)[:, :n]
+            yield j0, lut[codes]
+
+
+def parse_plink_bed(bed_path: str) -> np.ndarray:
+    """Whole .bed → dense individuals-major int8 (n, p)."""
+    blocks = [blk for _, blk in iter_plink_bed_blocks(bed_path)]
+    if not blocks:
+        raise ValueError(f"no SNPs in {bed_path}")
+    return np.vstack(blocks).T
+
+
+def read_plink_bim(bed_path: str):
+    """Marker names/chrom/pos from the .bim companion of a .bed file."""
+    base = bed_path[:-4] if bed_path.endswith(".bed") else bed_path
+    names, chroms, poss = [], [], []
+    with open(base + ".bim") as f:
+        for ln in f:
+            parts = ln.split()
+            if not parts:
+                continue
+            chroms.append(parts[0])
+            names.append(parts[1])
+            poss.append(int(parts[3]))
+    return names, chroms, poss
 
 
 def iter_vcf_blocks(path: str, block_snps: int = 4096):

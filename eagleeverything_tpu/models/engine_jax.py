@@ -139,9 +139,9 @@ class TiledScan:
         # cache entries: (global_snp_offset, valid_rows, device W tile)
         self._wcache: Optional[list[tuple[int, int, jax.Array]]] = None
         self._score = (
-            kernels.score_tile_bf16
+            kernels.score_tile_sqrt_bf16
             if config.compute_dtype == "bfloat16"
-            else kernels.score_tile
+            else kernels.score_tile_sqrt
         )
 
     def _device_tiles(self) -> Iterator[tuple[int, int, jax.Array]]:
@@ -166,13 +166,31 @@ class TiledScan:
             K = kernels.mmt_accumulate(K, w)  # padded rows are W=0: inert
         return np.asarray(jax.device_get(K), dtype=np.float64)
 
-    def sweep(self, Pm: np.ndarray, Py: np.ndarray, sigma2_g: float) -> np.ndarray:
-        Pm_d = jnp.asarray(Pm, dtype=jnp.float32)
+    def sweep(self, Lp: np.ndarray, Py: np.ndarray, sigma2_g: float) -> np.ndarray:
+        """Score all SNPs given the projector factor Lp (P̃ = Lp·Lpᵀ)."""
+        Lp_d = jnp.asarray(Lp, dtype=jnp.float32)
         Py_d = jnp.asarray(Py, dtype=jnp.float32)
         s2g = jnp.float32(sigma2_g)
         out = np.empty(self.src.p)
         for j0, b, w in self._device_tiles():
-            out[j0 : j0 + b] = np.asarray(self._score(w, Pm_d, Py_d, s2g))[:b]
+            out[j0 : j0 + b] = np.asarray(self._score(w, Lp_d, Py_d, s2g))[:b]
+        return out
+
+    def sweep_batched(
+        self, Lp: np.ndarray, Py: np.ndarray, sigma2_g: np.ndarray
+    ) -> np.ndarray:
+        """Batched sweep over R projector factors at once: Lp (R,n,m),
+        Py (R,n), sigma2_g (R,) → t (R, p). One pass over the genotype
+        tiles serves all R permutations (SURVEY.md §4.3)."""
+        Lp_d = jnp.asarray(Lp, dtype=jnp.float32)
+        Py_d = jnp.asarray(Py, dtype=jnp.float32)
+        s2g = jnp.asarray(sigma2_g, dtype=jnp.float32)
+        R = Lp_d.shape[0]
+        out = np.empty((R, self.src.p))
+        for j0, b, w in self._device_tiles():
+            out[:, j0 : j0 + b] = np.asarray(
+                kernels.score_tile_batched(w, Lp_d, Py_d, s2g)
+            )[:, :b]
         return out
 
 
@@ -204,14 +222,14 @@ class ShardedScan:
         K = collectives.mmt_psum(self.Wt, self.mesh)
         return np.asarray(jax.device_get(K), dtype=np.float64)
 
-    def sweep(self, Pm, Py, sigma2_g, exclude: Optional[list[int]] = None):
+    def sweep(self, Lp, Py, sigma2_g, exclude: Optional[list[int]] = None):
         mask = np.ones(self.p_pad, dtype=np.float32)
         mask[self.src.p :] = 0.0
         if exclude:
             mask[np.asarray(exclude)] = 0.0
         t, i_glob, m_glob = collectives.score_and_argmax(
             self.Wt,
-            jnp.asarray(Pm, jnp.float32),
+            jnp.asarray(Lp, jnp.float32),
             jnp.asarray(Py, jnp.float32),
             sigma2_g,
             jax.device_put(mask,
@@ -239,17 +257,41 @@ def forward_select(
     config: EagleConfig = DEFAULT_CONFIG,
     keep_records: Optional[np.ndarray] = None,
     sharded: bool = False,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
+    log_jsonl: Optional[str] = None,
 ) -> AMResult:
-    """The AM forward-selection loop on the TPU engine (SURVEY.md §4.2)."""
+    """The AM forward-selection loop on the TPU engine (SURVEY.md §4.2).
+
+    With ``ckpt_dir``, the n×n MMt is cached keyed by the genotype source
+    (iteration/permutation-invariant, SURVEY.md §6.4) and the tiny scan
+    state is checkpointed at every accepted iteration; ``resume=True``
+    restarts a killed scan from the last iteration boundary (§6.3).
+    """
+    from eagleeverything_tpu.utils import checkpoint as ckpt
+    from eagleeverything_tpu.utils.logging import Phase, ScanLogger
+
     y = np.asarray(y, dtype=np.float64)
     X0 = np.asarray(X0, dtype=np.float64)
     src = _make_source(handle, keep_records)
     n = y.shape[0]
     p = src.p
+    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl)
 
     backend = ShardedScan(src, config) if sharded else TiledScan(src, config)
 
-    K_raw = backend.compute_K()
+    K_raw = None
+    mmt_key = None
+    if ckpt_dir is not None:
+        mmt_key = ckpt.mmt_cache_key(handle.source, src.n, src.p, keep_records)
+        K_raw = ckpt.load_mmt(ckpt_dir, mmt_key)
+        if K_raw is not None and K_raw.shape != (src.n, src.n):
+            K_raw = None
+    if K_raw is None:
+        with Phase(logger, "mmt", items=p):
+            K_raw = backend.compute_K()
+        if ckpt_dir is not None:
+            ckpt.save_mmt(ckpt_dir, mmt_key, K_raw)
     s0 = float(np.mean(np.diag(K_raw)))
     K = K_raw / (s0 if s0 > 0 else 1.0)
     if Z is not None:
@@ -265,49 +307,103 @@ def forward_select(
     outlier_stats: list[np.ndarray] = []
 
     X = X0
-    lam, eta2, _ = reml_core.spectral_inputs(y, X, K_eff)
-    fit = reml_core.reml_maximize(lam, eta2)
-    best = reml_core.extbic(fit.loglik, n, p, 0, lam_ebic)
+    if resume and ckpt_dir is not None:
+        state = ckpt.load_scan_state(ckpt_dir)
+        if state is not None:
+            selected = [int(j) for j in state["selected"]]
+            for j in selected:
+                w_col = _impute_column_f64(src.column(j))
+                x_col = Z @ w_col if Z is not None else w_col
+                X = np.hstack([X, x_col[:, None]])
+            extbic_path = [float(v) for v in state["extbic_path"][:-1]]
+            loglik_path = [float(v) for v in state["loglik_path"][:-1]]
+            logger.event("resume", markers=len(selected))
+
+    # One eigendecomposition of K for the whole scan (FaST-LMM style):
+    # every subsequent REML fit is O(n·q²) in this basis, and the sweep's
+    # projector factor is an O(n²·q) rank-q update — no per-iteration n³.
+    # Cached alongside MMt (it is iteration/permutation-invariant, §6.4).
+    d_eig = U_eig = None
+    eig_key = None
+    if ckpt_dir is not None and Z is None:
+        # key by kernel CONTENT, not just source: a changed/invalidated MMt
+        # cache must not serve a stale eigendecomposition
+        import hashlib
+        eig_key = (mmt_key + "-"
+                   + hashlib.sha256(np.ascontiguousarray(K_eff).tobytes())
+                     .hexdigest()[:16])
+        cached = ckpt.load_eig(ckpt_dir, eig_key)
+        if cached is not None and cached[0].shape[0] == n:
+            d_eig, U_eig = cached
+    if d_eig is None:
+        with Phase(logger, "eigh", items=n):
+            d_eig, U_eig = np.linalg.eigh(K_eff)
+        if eig_key is not None:
+            ckpt.save_eig(ckpt_dir, eig_key, d_eig, U_eig)
+    d_eig = np.maximum(d_eig, 0.0)
+    y_star = U_eig.T @ y
+    Xs = U_eig.T @ X
+
+    fit = reml_core.reml_maximize_diag(d_eig, y_star, Xs)
+    best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
     extbic_path.append(best)
     loglik_path.append(fit.loglik)
     if not quiet:
-        print(f"[engine] null: extBIC={best:.4f} delta={fit.delta:.4g}")
+        print(f"[engine] start: extBIC={best:.4f} delta={fit.delta:.4g} "
+              f"k={len(selected)}")
 
-    for it in range(maxit):
-        # host-f64 projector on the record-level covariance
-        Pm = _projector(X, K_eff, fit.delta)
-        Py = Pm @ y
+    for it in range(len(selected), maxit):
+        # host-f64 projector factor in the eigenbasis:
+        # P̃ = M·Mᵀ with M = U·S·(I − QQᵀ), S = diag((d+δ)^(-1/2)),
+        # Q = qr(S·X*) — an O(n²·q) rank-q update, no Cholesky/eigh
+        M = _projector_factor_diag(U_eig, d_eig, Xs, fit.delta)
+        Py = M @ (M.T @ y)
         if Z is not None:
-            Pm_g = Z.T @ Pm @ Z
+            Lp_g = Z.T @ M       # (ZᵀM)(ZᵀM)ᵀ = Zᵀ·P̃·Z
             Py_g = Z.T @ Py
         else:
-            Pm_g, Py_g = Pm, Py
+            Lp_g, Py_g = M, Py
 
-        if sharded:
-            t, cand, _ = backend.sweep(Pm_g, Py_g, fit.sigma2_g, exclude=selected)
-        else:
-            t = backend.sweep(Pm_g, Py_g, fit.sigma2_g)
-            t[selected] = 0.0
-            cand = int(np.argmax(t))
+        with Phase(logger, "sweep", items=p):
+            if sharded:
+                t, cand, _ = backend.sweep(Lp_g, Py_g, fit.sigma2_g,
+                                           exclude=selected)
+            else:
+                t = backend.sweep(Lp_g, Py_g, fit.sigma2_g)
+                t[selected] = 0.0
+                cand = int(np.argmax(t))
         outlier_stats.append(t.astype(np.float64))
 
         w_col = _impute_column_f64(src.column(cand))
         x_col = Z @ w_col if Z is not None else w_col
         X_new = np.hstack([X, x_col[:, None]])
-        lam_s, eta2_s, _ = reml_core.spectral_inputs(y, X_new, K_eff)
-        fit_new = reml_core.reml_maximize(lam_s, eta2_s)
+        Xs_new = np.hstack([Xs, (U_eig.T @ x_col)[:, None]])  # incremental UᵀX
+        fit_new = reml_core.reml_maximize_diag(d_eig, y_star, Xs_new)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p, len(selected) + 1, lam_ebic)
         if not quiet:
             print(f"[engine] it={it} cand={cand} t_max={t[cand]:.4f} "
                   f"extBIC {best:.4f} -> {ebic_new:.4f}")
-        if ebic_new < best or fixit:
+        accepted = ebic_new < best or fixit
+        logger.event(
+            "iteration", it=it, candidate=cand, t_max=float(t[cand]),
+            extbic=float(ebic_new), accepted=accepted,
+            sigma2_g=float(fit_new.sigma2_g), sigma2_e=float(fit_new.sigma2_e),
+        )
+        if accepted:
             selected.append(cand)
-            X, fit, best = X_new, fit_new, ebic_new
+            X, Xs, fit, best = X_new, Xs_new, fit_new, ebic_new
             extbic_path.append(ebic_new)
             loglik_path.append(fit_new.loglik)
+            if ckpt_dir is not None:
+                ckpt.save_scan_state(
+                    ckpt_dir, selected, extbic_path, loglik_path,
+                    fit.delta, fit.sigma2_g, fit.sigma2_e,
+                    meta={"trait_n": n, "p": p, "lam_ebic": lam_ebic},
+                )
         else:
             break
 
+    logger.close()
     return AMResult(
         indices=selected, extbic_path=extbic_path,
         outlier_stats=outlier_stats, loglik_path=loglik_path,
@@ -323,3 +419,42 @@ def _projector(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:
     HinvX = Hinv @ X
     XtHinvX = X.T @ HinvX
     return Hinv - HinvX @ np.linalg.solve(XtHinvX, HinvX.T)
+
+
+def _projector_factor_diag(
+    U: np.ndarray, d: np.ndarray, X_star: np.ndarray, delta: float
+) -> np.ndarray:
+    """Projector factor M (P̃ = M·Mᵀ) from the cached eigenbasis of K.
+
+    P̃ = H⁻¹ − H⁻¹X(XᵀH⁻¹X)⁻¹XᵀH⁻¹ with H = U·diag(d+δ)·Uᵀ:
+      S = diag((d+δ)^(-1/2)),  V = S·X*,  Q = qr(V)  →
+      P̃ = U·S·(I − QQᵀ)·S·Uᵀ = M·Mᵀ,  M = U·S − ((U·S)·Q)·Qᵀ.
+
+    Cost: one column scaling of U (O(n²)) plus two rank-q GEMMs (O(n²q))
+    — replaces the per-iteration Cholesky/eigh entirely.
+    """
+    s = 1.0 / np.sqrt(d + delta)
+    V = X_star * s[:, None]
+    Q, _ = np.linalg.qr(V)
+    US = U * s[None, :]
+    return US - (US @ Q) @ Q.T
+
+
+def _projector_factor(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:
+    """Host-f64 factor M with P̃ = M·Mᵀ, via Cholesky + thin QR.
+
+    With H = LₕLₕᵀ and V = Lₕ⁻¹X (thin QR → Q):
+      P̃ = H⁻¹ − H⁻¹X(XᵀH⁻¹X)⁻¹XᵀH⁻¹ = Lₕ⁻ᵀ(I − QQᵀ)Lₕ⁻¹ = M·Mᵀ,
+      M = Lₕ⁻ᵀ(I − QQᵀ)   (I − QQᵀ is an orthogonal projector).
+
+    ~3× cheaper than inverse+eigh and gives the device sweep its
+    square-root form (ops/kernels.score_tile_sqrt) for free.
+    """
+    from scipy import linalg as sla
+    n = K.shape[0]
+    H = K + delta * np.eye(n)
+    Lh = sla.cholesky(H, lower=True)
+    V = sla.solve_triangular(Lh, X, lower=True)
+    Q, _ = np.linalg.qr(V)
+    A = np.eye(n) - Q @ Q.T
+    return sla.solve_triangular(Lh, A, lower=True, trans="T")

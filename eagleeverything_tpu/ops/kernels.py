@@ -76,6 +76,58 @@ def score_tile(
 
 
 @jax.jit
+def score_tile_sqrt(
+    Wt: jax.Array, Lp: jax.Array, Py: jax.Array, sigma2_g: jax.Array
+) -> jax.Array:
+    """Score sweep via the projector's symmetric square root (P̃ = L·Lᵀ):
+
+      var(â_j)/σ²_g = w_jᵀ·P̃·w_j = ‖Lᵀ·w_j‖²  →  vara = rowsum((Wt·L)²)
+
+    Same FLOPs as :func:`score_tile` but the elementwise Wt∘(WtP̃) pass
+    (an extra full read of Wt plus a (b,n) f32 intermediate) becomes a
+    square-accumulate epilogue XLA fuses into the GEMM — measurably higher
+    MXU utilization on the HBM-bound side. L comes from the host-f64
+    eigendecomposition of P̃ (clipped at zero: P̃ is PSD of rank n−q).
+    """
+    ahat = jnp.dot(Wt, Py, preferred_element_type=jnp.float32)
+    B = jnp.dot(Wt, Lp, preferred_element_type=jnp.float32)
+    vara = sigma2_g * jnp.sum(B * B, axis=1)
+    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+
+
+@jax.jit
+def score_tile_sqrt_bf16(
+    Wt: jax.Array, Lp: jax.Array, Py: jax.Array, sigma2_g: jax.Array
+) -> jax.Array:
+    """bfloat16-input variant of :func:`score_tile_sqrt` (f32 accumulation)."""
+    Wb = Wt.astype(jnp.bfloat16)
+    ahat = jnp.dot(Wb, Py.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    B = jnp.dot(Wb, Lp.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    vara = sigma2_g * jnp.sum(B * B, axis=1)
+    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+
+
+def projector_sqrt(Pm: "np.ndarray") -> "np.ndarray":
+    """Host-f64 symmetric square root L of the PSD projector P̃ (P̃=LLᵀ)."""
+    import numpy as np
+    w, U = np.linalg.eigh(0.5 * (Pm + Pm.T))
+    return U * np.sqrt(np.clip(w, 0.0, None))[None, :]
+
+
+@jax.jit
+def score_tile_batched(
+    Wt: jax.Array, Lp: jax.Array, Py: jax.Array, sigma2_g: jax.Array
+) -> jax.Array:
+    """Permutation-batched score sweep: (R,n,m) projector factors /
+    (R,n) P̃y / (R,) σ²_g against one genotype tile → (R, b) statistics.
+
+    The FPR4AM calibration path (SURVEY.md §4.3): permutations ride a
+    leading batch axis through one fused device pass over each genotype
+    tile instead of R separate streams."""
+    return jax.vmap(score_tile_sqrt, in_axes=(None, 0, 0, 0))(Wt, Lp, Py, sigma2_g)
+
+
+@jax.jit
 def score_tile_bf16(
     Wt: jax.Array, Pm: jax.Array, Py: jax.Array, sigma2_g: jax.Array
 ) -> jax.Array:

@@ -44,14 +44,14 @@ def mmt_psum(Wt: jax.Array, mesh: Mesh) -> jax.Array:
 
 
 def score_and_argmax(
-    Wt: jax.Array, Pm: jax.Array, Py: jax.Array, sigma2_g: jax.Array,
+    Wt: jax.Array, Lp: jax.Array, Py: jax.Array, sigma2_g: jax.Array,
     tmask: jax.Array, mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sharded score sweep + collective argmax in one jitted step.
 
     Args:
       Wt: (p_pad, n) SNP-major genotype tiles, sharded over ``snp``.
-      Pm: (n, n) replicated projector P̃ (H-scale).
+      Lp: (n, m) replicated projector factor (P̃ = Lp·Lpᵀ, H-scale).
       Py: (n,) replicated P̃·y.
       sigma2_g: scalar σ²_g.
       tmask: (p_pad,) float {0,1} — 0 for already-selected / padded SNPs,
@@ -69,10 +69,10 @@ def score_and_argmax(
         in_specs=(P(SNP_AXIS, None), P(None, None), P(None,), P(), P(SNP_AXIS)),
         out_specs=(P(SNP_AXIS), P(), P()),
     )
-    def _sweep(wt, pm, py, s2g, mask):
+    def _sweep(wt, lp, py, s2g, mask):
         ahat = jnp.dot(wt, py, preferred_element_type=jnp.float32)
-        wtp = jnp.dot(wt, pm, preferred_element_type=jnp.float32)
-        vara = s2g * jnp.sum(wt.astype(jnp.float32) * wtp, axis=1)
+        b = jnp.dot(wt, lp, preferred_element_type=jnp.float32)
+        vara = s2g * jnp.sum(b * b, axis=1)
         t = jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0) * mask
         # local argmax (first-match = lowest local index)
         i_loc = jnp.argmax(t)
@@ -85,7 +85,7 @@ def score_and_argmax(
         i_glob = jax.lax.pmin(cand, SNP_AXIS)
         return t, i_glob, m_glob
 
-    return _sweep(Wt, Pm, Py, jnp.asarray(sigma2_g, jnp.float32), tmask)
+    return _sweep(Wt, Lp, Py, jnp.asarray(sigma2_g, jnp.float32), tmask)
 
 
 def gather_column(Wt: jax.Array, j: int, mesh: Mesh) -> jax.Array:

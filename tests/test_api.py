@@ -1,0 +1,148 @@
+"""API-surface tests: the exported functions end-to-end via file handles
+(reference: R CMD check runs the man-page examples as integration tests,
+SURVEY.md §5 — this file is the rebuild's equivalent)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import eagleeverything_tpu as ee
+from eagleeverything_tpu.data import simulate as simmod
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tutorial")
+    sim = simmod.write_tutorial(str(d), n=120, p=1000, seed=13)
+    return str(d), sim
+
+
+@pytest.fixture(scope="module")
+def handles(data_dir):
+    d, sim = data_dir
+    geno = ee.read_marker(os.path.join(d, "geno.txt"))
+    pheno = ee.read_pheno(os.path.join(d, "pheno.txt"))
+    map_h = ee.read_map(os.path.join(d, "map.txt"))
+    return geno, pheno, map_h, sim
+
+
+def test_am_end_to_end(handles):
+    geno, pheno, map_h, sim = handles
+    res = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                map=map_h, maxit=8)
+    assert len(res.indices) >= 1
+    # all planted QTL recovered (within the 25-SNP LD block); the polygenic
+    # background makes occasional extra selections legitimate — allow ≤ 2
+    hits = sum(np.min(np.abs(np.array(res.indices) - q)) <= 25
+               for q in sim.qtl_idx)
+    assert hits == len(sim.qtl_idx)
+    extras = sum(np.min(np.abs(sim.qtl_idx - j)) > 25 for j in res.indices)
+    assert extras <= 2
+    assert res.marker_names[0] == map_h.marker_names[res.indices[0]]
+    assert res.trait_name == "y"
+
+
+def test_am_oracle_engine_agrees(handles):
+    geno, pheno, map_h, _ = handles
+    r1 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+               maxit=8, engine="jax")
+    r2 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+               maxit=8, engine="oracle")
+    assert r1.indices == r2.indices
+
+
+def test_am_sharded_engine_agrees(handles):
+    geno, pheno, _, _ = handles
+    r1 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+               maxit=8, engine="jax")
+    r3 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+               maxit=8, engine="sharded")
+    assert r1.indices == r3.indices
+
+
+def test_am_with_na_phenotypes(handles):
+    geno, pheno, _, sim = handles
+    cols = dict(pheno.columns)
+    y = cols["y"].copy()
+    y[3] = np.nan
+    y[77] = np.nan
+    cols["y"] = y
+    res = ee.am(trait="y", geno=geno, pheno=cols, fformula="age + sex",
+                maxit=6)
+    assert res.n == 118
+    assert list(res.dropped_records) == [3, 77]
+    assert len(res.indices) >= 1
+
+
+def test_summary_am(handles):
+    geno, pheno, map_h, _ = handles
+    res = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                maxit=8)
+    s = ee.summary_am(res, trait="y", geno=geno, pheno=pheno,
+                      fformula="age + sex", quiet=True)
+    assert len(s.indices) == len(res.indices)
+    assert (s.pvalue < 0.05).all()
+
+
+def test_fpr4am_batched(handles):
+    geno, pheno, _, _ = handles
+    out = ee.fpr4am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                    numreps=6, seed=1)
+    assert out["lambda"] >= 0
+    assert len(out["lambda_crits"]) == 6
+    assert np.isfinite(out["lambda_crits"]).all()
+
+
+def test_plot_am_smoke(handles, tmp_path):
+    pytest.importorskip("matplotlib")
+    geno, pheno, map_h, _ = handles
+    res = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                maxit=6)
+    out = str(tmp_path / "p.png")
+    ee.plot_am(res, map=map_h, save=out)
+    assert os.path.getsize(out) > 1000
+    out2 = str(tmp_path / "t.png")
+    ee.plot_am(res, type="trace", save=out2)
+    assert os.path.getsize(out2) > 1000
+
+
+def test_am_checkpoint_via_api(handles, tmp_path):
+    geno, pheno, _, _ = handles
+    ck = str(tmp_path / "ck")
+    r1 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+               maxit=1, fixit=True, ckpt_dir=ck)
+    r2 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+               maxit=8, ckpt_dir=ck, resume=True)
+    r_fresh = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                    maxit=8)
+    assert r2.indices == r_fresh.indices
+
+
+def test_cli_end_to_end(data_dir, tmp_path):
+    from eagleeverything_tpu.cli import main
+    d, sim = data_dir
+    out_json = str(tmp_path / "r.json")
+    rc = main([
+        "am", "--geno", os.path.join(d, "geno.txt"),
+        "--pheno", os.path.join(d, "pheno.txt"),
+        "--trait", "y", "--fformula", "age + sex",
+        "--map", os.path.join(d, "map.txt"),
+        "--maxit", "6", "--json", out_json,
+    ])
+    assert rc == 0
+    payload = json.load(open(out_json))
+    assert payload["trait"] == "y"
+    assert len(payload["indices"]) >= 1
+
+
+def test_cli_error_paths(data_dir):
+    from eagleeverything_tpu.cli import main
+    d, _ = data_dir
+    rc = main(["am", "--geno", os.path.join(d, "geno.txt"),
+               "--pheno", os.path.join(d, "pheno.txt"), "--trait", "zzz"])
+    assert rc == 2
+    rc = main(["am", "--geno", "/does/not/exist",
+               "--pheno", os.path.join(d, "pheno.txt"), "--trait", "y"])
+    assert rc == 2

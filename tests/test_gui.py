@@ -1,0 +1,71 @@
+"""GUI smoke test: the stdlib HTTP app end-to-end (read → scan → summary →
+plot), reference ``OpenGUI()``/Shiny analog (SURVEY.md §4.5)."""
+
+import json
+import os
+import time
+import urllib.request
+
+import pytest
+
+from eagleeverything_tpu.data import simulate as simmod
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import eagleeverything_tpu.gui as gui
+    d = str(tmp_path_factory.mktemp("guidata"))
+    simmod.write_tutorial(d, n=100, p=500, seed=4)
+    srv = gui.open_gui(port=0, open_browser=False, block=False)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, d
+    srv.shutdown()
+
+
+def test_gui_full_workflow(server):
+    base, d = server
+    page = _get(base + "/")
+    assert b"eagle-tpu" in page and b"Run AM" in page
+
+    r = _post(base + "/api/read", {
+        "geno": os.path.join(d, "geno.txt"), "gtype": "text",
+        "pheno": os.path.join(d, "pheno.txt"),
+        "map": os.path.join(d, "map.txt"),
+    })
+    assert r["genotypes"].startswith("100 individuals")
+
+    r = _post(base + "/api/am", {"trait": "y", "fformula": "age + sex",
+                                 "maxit": "5", "lam": "1.0"})
+    assert r.get("started")
+    for _ in range(120):
+        st = json.loads(_get(base + "/api/status"))
+        if not st["running"]:
+            break
+        time.sleep(1)
+    assert st["error"] is None, st
+    assert st["result"] is not None
+    assert len(st["result"]["indices"]) >= 0  # may select 0 on tiny data
+    if st["result"]["indices"]:
+        s = json.loads(_get(base + "/api/summary"))
+        assert "pvalue" in s
+        png = _get(base + "/api/plot.png")
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_gui_error_paths(server):
+    base, _ = server
+    r = _post(base + "/api/read", {"geno": "/nope", "pheno": "/nope"})
+    assert "error" in r

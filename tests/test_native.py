@@ -1,0 +1,120 @@
+"""Native C++ ingest library tests: native/python parser equivalence,
+2-bit packing, PLINK .bed, packed store round-trips."""
+
+import numpy as np
+import pytest
+
+from eagleeverything_tpu.api.read import read_marker
+from eagleeverything_tpu.data import simulate as simmod
+from eagleeverything_tpu.io import native, parsers
+from eagleeverything_tpu.io.genostore import GenotypeStore
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simmod.simulate_dataset(n=57, p=310, seed=9, missing_rate=0.03)
+
+
+def test_native_lib_builds():
+    lib = native.get_lib()
+    assert lib is not None, "g++ build of the native ingest library failed"
+
+
+def test_native_ascii_matches_python(sim, tmp_path):
+    f = str(tmp_path / "g.txt")
+    simmod.write_ascii_geno(sim, f)
+    nat = np.vstack(list(parsers.iter_ascii_blocks(f, use_native=True)))
+    py = np.vstack(list(parsers.iter_ascii_blocks(f, use_native=False)))
+    np.testing.assert_array_equal(nat, py)
+    np.testing.assert_array_equal(nat, sim.geno)
+
+
+def test_native_ascii_nospace(sim, tmp_path):
+    f = str(tmp_path / "g.txt")
+    simmod.write_ascii_geno_nospace(sim, f)
+    nat = np.vstack(list(
+        parsers.iter_ascii_blocks(f, AA="0", AB="1", BB="2", missing="X")
+    ))
+    np.testing.assert_array_equal(nat, sim.geno)
+
+
+def test_native_ascii_small_blocks(sim, tmp_path):
+    f = str(tmp_path / "g.txt")
+    simmod.write_ascii_geno(sim, f)
+    blocks = list(parsers.iter_ascii_blocks(f, block_rows=13))
+    assert all(b.shape[0] <= 13 for b in blocks)
+    np.testing.assert_array_equal(np.vstack(blocks), sim.geno)
+
+
+def test_native_ascii_bad_token(tmp_path):
+    f = str(tmp_path / "g.txt")
+    with open(f, "w") as fh:
+        fh.write("AA AB BB\nAA XX BB\n")
+    with pytest.raises(ValueError):
+        list(parsers.iter_ascii_blocks(f))
+
+
+def test_pack2_roundtrip(sim):
+    flat = sim.geno.reshape(-1)
+    for count in (1, 3, 4, 5, flat.size):
+        packed = native.pack2(flat[:count])
+        assert packed.size == (count + 3) // 4
+        out = native.unpack2(packed, count)
+        np.testing.assert_array_equal(out, flat[:count])
+
+
+def test_pack2_python_fallback_matches_native(sim):
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    flat = sim.geno.reshape(-1)[:1001]
+    lib_packed = native.pack2(flat)
+    # force the python path
+    orig, native._lib, native._lib_failed = native._lib, None, True
+    try:
+        py_packed = native.pack2(flat)
+        py_out = native.unpack2(lib_packed, flat.size)
+    finally:
+        native._lib, native._lib_failed = orig, False
+    np.testing.assert_array_equal(lib_packed, py_packed)
+    np.testing.assert_array_equal(py_out, flat)
+
+
+def test_packed_store_roundtrip(sim, tmp_path):
+    d = str(tmp_path / "pstore")
+    GenotypeStore.create_from_dense(d, sim.geno, n_shards=3, packed=True)
+    st = GenotypeStore.open(d)
+    assert st.packed
+    np.testing.assert_array_equal(st.to_dense(), sim.geno)
+    for j in (0, 100, sim.geno.shape[1] - 1):
+        np.testing.assert_array_equal(st.column(j), sim.geno[:, j])
+    # packed shards are ~4x smaller than int8
+    import os
+    sz = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+             if f.endswith(".bin"))
+    n, p = sim.geno.shape
+    assert sz == p * ((n + 3) // 4)
+
+
+def test_plink_bed_roundtrip(sim, tmp_path):
+    bed = str(tmp_path / "g.bed")
+    simmod.write_plink_bed(sim, bed)
+    h = read_marker(bed, type="PLINK")
+    np.testing.assert_array_equal(h.geno, sim.geno)
+    assert h.marker_names == sim.marker_names
+
+
+def test_plink_bed_into_packed_store(sim, tmp_path):
+    bed = str(tmp_path / "g.bed")
+    simmod.write_plink_bed(sim, bed)
+    d = str(tmp_path / "bstore")
+    h = read_marker(bed, type="PLINK", store_dir=d, n_shards=2, packed=True)
+    np.testing.assert_array_equal(h.materialize(), sim.geno)
+
+
+def test_vcf_into_store(sim, tmp_path):
+    f = str(tmp_path / "g.vcf")
+    simmod.write_vcf(sim, f)
+    d = str(tmp_path / "vstore")
+    h = read_marker(f, type="vcf", store_dir=d, n_shards=2)
+    np.testing.assert_array_equal(h.materialize(), sim.geno)
+    assert h.marker_names == sim.marker_names

@@ -150,6 +150,26 @@ def test_zmat_repeated_measures():
         assert np.min(np.abs(sim.qtl_idx - j)) <= 25
 
 
+def test_diag_reml_matches_emma_form():
+    """FaST-LMM diagonal-basis REML (engine path) must agree with the
+    EMMA spectral form (oracle path): same δ*, same logLik."""
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n, q = 80, 3
+        X = np.column_stack([np.ones(n), rng.standard_normal((n, q - 1))])
+        A = rng.standard_normal((n, 2 * n))
+        K = A @ A.T / (2 * n)
+        y = (rng.standard_normal(n)
+             + A[:, 0] * (trial % 2))  # vary signal share across trials
+        lam, eta2, _ = reml_core.spectral_inputs(y, X, K)
+        fit_emma = reml_core.reml_maximize(lam, eta2)
+        d, U = np.linalg.eigh(K)
+        fit_diag = reml_core.reml_maximize_diag(d, U.T @ y, U.T @ X)
+        assert fit_diag.loglik == pytest.approx(fit_emma.loglik, abs=1e-7)
+        assert fit_diag.delta == pytest.approx(fit_emma.delta, rel=1e-5)
+        assert fit_diag.sigma2_g == pytest.approx(fit_emma.sigma2_g, rel=1e-5)
+
+
 def test_extbic_monotone_in_k():
     ll = -100.0
     e1 = reml_core.extbic(ll, 100, 5000, 1, 1.0)
