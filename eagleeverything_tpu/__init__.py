@@ -30,7 +30,7 @@ from eagleeverything_tpu.api.read import (
     read_map,
     read_zmat,
 )
-from eagleeverything_tpu.api.am import am
+from eagleeverything_tpu.api.am import am, am_multi
 from eagleeverything_tpu.api.fpr import fpr4am
 from eagleeverything_tpu.api.summary import summary_am
 from eagleeverything_tpu.api.plot import plot_am
@@ -45,6 +45,7 @@ __all__ = [
     "read_map",
     "read_zmat",
     "am",
+    "am_multi",
     "fpr4am",
     "summary_am",
     "plot_am",

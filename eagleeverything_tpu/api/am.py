@@ -99,6 +99,73 @@ def am(
     return res
 
 
+def am_multi(
+    traits: list[str],
+    geno: Union[GenoHandle, np.ndarray],
+    pheno: Union[PhenoHandle, dict],
+    fformula: Optional[str] = None,
+    map: Optional[MapHandle] = None,
+    maxit: int = 40,
+    fixit: bool = False,
+    lam: float = 1.0,
+    quiet: bool = True,
+    config: EagleConfig = DEFAULT_CONFIG,
+) -> dict[str, AMResult]:
+    """Scan several traits in one pass (BASELINE config 5).
+
+    MMt, its eigendecomposition, and the device genotype tiles are shared;
+    per-iteration sweeps for all still-active traits are batched through
+    the device together. Records with a missing value in ANY trait or
+    covariate are dropped for all traits (union NA rule) so the shared
+    kernel stays valid. Returns {trait_name: AMResult}.
+    """
+    from eagleeverything_tpu.api.design import build_design, na_rows
+    from eagleeverything_tpu.models import engine_jax
+
+    if isinstance(pheno, PhenoHandle):
+        columns = pheno.columns
+    else:
+        columns = {k: np.asarray(v) for k, v in pheno.items()}
+    missing = [t for t in traits if t not in columns]
+    if missing:
+        raise KeyError(f"traits {missing} not in phenotype columns "
+                       f"{sorted(columns)}")
+    ys_full = np.stack([np.asarray(columns[t], dtype=np.float64)
+                        for t in traits])
+    n_rec = ys_full.shape[1]
+    X_full, _ = build_design(columns, fformula, n_rec)
+    used = [ys_full[i] for i in range(len(traits))] + [
+        X_full[:, j] for j in range(1, X_full.shape[1])]
+    drop = na_rows(*used)
+    keep = np.setdiff1d(np.arange(n_rec), drop)
+
+    handle = geno if isinstance(geno, GenoHandle) else None
+    if handle is None:
+        arr = np.asarray(geno)
+        handle = GenoHandle(n=arr.shape[0], p=arr.shape[1],
+                            source="<array>", geno=arr)
+    if handle.n != n_rec:
+        raise ValueError(f"{n_rec} phenotype records vs {handle.n} individuals")
+
+    results = engine_jax.forward_select_multi(
+        ys_full[:, keep], X_full[keep], handle,
+        maxit=maxit, fixit=fixit, lam_ebic=lam, quiet=quiet, config=config,
+        keep_records=keep if len(keep) != n_rec else None,
+        trait_names=list(traits),
+    )
+    out = {}
+    for res in results:
+        res.dropped_records = drop
+        if map is not None:
+            res.marker_names = [map.marker_names[j] for j in res.indices]
+            res.chr = [str(map.chrom[j]) for j in res.indices]
+            res.pos = [float(map.pos[j]) for j in res.indices]
+        out[res.trait_name] = res
+        if not quiet:
+            _print_result(res)
+    return out
+
+
 def _print_result(res: AMResult) -> None:
     print(f"\nAM scan complete: {len(res.indices)} marker(s) selected "
           f"(n={res.n}, p={res.p}, lambda={res.lam_ebic})")

@@ -62,8 +62,7 @@ def fpr4am(
 
     # shared across ALL permutations: one eigendecomposition of the kernel
     # (FaST-LMM basis) — every per-permutation REML fit is then O(n·q²)
-    d_eig, U = np.linalg.eigh(K_eff)
-    d_eig = np.maximum(d_eig, 0.0)
+    d_eig, U = engine_jax._eigh_kernel(K_eff, config)
     Xs0 = U.T @ X0
 
     rng = np.random.default_rng(seed)

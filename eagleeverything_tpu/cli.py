@@ -61,6 +61,9 @@ def main(argv=None) -> int:
                       help="resume a checkpointed scan")
     am_p.add_argument("--log-jsonl", default=None,
                       help="structured per-iteration metrics file")
+    am_p.add_argument("--profile", default=None, metavar="DIR",
+                      help="write a jax.profiler trace (TensorBoard/"
+                           "Perfetto) of the scan to DIR")
     am_p.add_argument("--summary", action="store_true",
                       help="also print SummaryAM-style Wald table")
 
@@ -112,12 +115,20 @@ def _run(args) -> int:
     zmat = ee.read_zmat(args.zmat) if args.zmat else None
 
     if args.cmd == "am":
-        res = ee.am(trait=args.trait, geno=geno, pheno=pheno,
-                    fformula=args.fformula, map=map_h, Zmat=zmat,
-                    maxit=args.maxit, fixit=args.fixit, lam=args.lam,
-                    quiet=False, engine=args.engine,
-                    ckpt_dir=args.ckpt_dir, resume=args.resume,
-                    log_jsonl=args.log_jsonl)
+        import contextlib
+        prof = contextlib.nullcontext()
+        if args.profile:
+            import jax
+            prof = jax.profiler.trace(args.profile)
+        with prof:
+            res = ee.am(trait=args.trait, geno=geno, pheno=pheno,
+                        fformula=args.fformula, map=map_h, Zmat=zmat,
+                        maxit=args.maxit, fixit=args.fixit, lam=args.lam,
+                        quiet=False, engine=args.engine,
+                        ckpt_dir=args.ckpt_dir, resume=args.resume,
+                        log_jsonl=args.log_jsonl)
+        if args.profile:
+            print(f"profiler trace written to {args.profile}")
         if args.summary:
             ee.summary_am(res, trait=args.trait, geno=geno, pheno=pheno,
                           fformula=args.fformula, Zmat=zmat)

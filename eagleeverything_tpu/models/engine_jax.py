@@ -98,6 +98,22 @@ def _make_source(handle: GenoHandle, keep: Optional[np.ndarray]) -> TileSource:
     raise ValueError("GenoHandle has neither in-memory genotypes nor a store")
 
 
+def _eigh_kernel(K: np.ndarray, config: EagleConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Eigendecomposition of the (normalized) kernel: host f64 LAPACK for
+    n ≤ host_eigh_max_n, device f32 ``jnp.linalg.eigh`` above it — the
+    decision path tolerates f32 eigenvectors because the REML 1-D
+    optimization and extBIC comparisons still run in host f64 on the
+    projected quantities (SURVEY.md §8 hardest parts (1)/(2))."""
+    n = K.shape[0]
+    if n <= config.host_eigh_max_n:
+        d, U = np.linalg.eigh(K)
+    else:
+        d_dev, U_dev = jnp.linalg.eigh(jnp.asarray(K, dtype=jnp.float32))
+        d = np.asarray(d_dev, dtype=np.float64)
+        U = np.asarray(U_dev, dtype=np.float64)
+    return np.maximum(d, 0.0), U
+
+
 def _impute_column_f64(col_raw: np.ndarray) -> np.ndarray:
     """Recode one raw int8 column to the f64 W column the oracle would
     produce (mean-impute, minus 1) — used for the fixed-effects update so
@@ -149,13 +165,39 @@ class TiledScan:
             yield from self._wcache
             return
         cache = [] if self.cache_device else None
-        for j0, tile in self.src.tiles(self.tile_snps):
-            b = tile.shape[0]
-            g = jnp.asarray(_pad_tile(tile, self.tile_snps))
+        # double-buffered host→device streaming: a producer thread reads
+        # the next tile from the store and enqueues its H2D transfer while
+        # the device computes on the current one (the rebuild's overlap of
+        # ReadBlock I/O with GEMM, SURVEY.md §3.3 "ReadBlock streaming")
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for j0, tile in self.src.tiles(self.tile_snps):
+                    b = tile.shape[0]
+                    g = jnp.asarray(_pad_tile(tile, self.tile_snps))
+                    q.put((j0, b, g))
+                q.put(None)
+            except BaseException as e:  # surface I/O errors to the consumer
+                q.put(e)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            j0, b, g = item
             w = kernels.recode_impute_tile(g, compute_dtype=self.config.compute_dtype)
             if cache is not None:
                 cache.append((j0, b, w))
             yield j0, b, w
+        th.join()
         if cache is not None:
             self._wcache = cache
 
@@ -337,7 +379,7 @@ def forward_select(
             d_eig, U_eig = cached
     if d_eig is None:
         with Phase(logger, "eigh", items=n):
-            d_eig, U_eig = np.linalg.eigh(K_eff)
+            d_eig, U_eig = _eigh_kernel(K_eff, config)
         if eig_key is not None:
             ckpt.save_eig(ckpt_dir, eig_key, d_eig, U_eig)
     d_eig = np.maximum(d_eig, 0.0)
@@ -410,6 +452,116 @@ def forward_select(
         sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e, delta=fit.delta,
         n=n, p=p, lam_ebic=lam_ebic,
     )
+
+
+def forward_select_multi(
+    ys: np.ndarray,
+    X0: np.ndarray,
+    handle: GenoHandle,
+    maxit: int = 40,
+    fixit: bool = False,
+    lam_ebic: float = 1.0,
+    quiet: bool = True,
+    config: EagleConfig = DEFAULT_CONFIG,
+    keep_records: Optional[np.ndarray] = None,
+    trait_names: Optional[list[str]] = None,
+) -> list[AMResult]:
+    """Lockstep multi-trait scan (BASELINE config 5: multi-trait /
+    covariate-rich batched REML runs).
+
+    All T traits share one MMt, one kernel eigendecomposition, and the
+    cached device genotype tiles; at each iteration the still-active
+    traits' score sweeps run as ONE batched device pass (the same
+    leading-axis batching the FPR4AM permutations use, SURVEY.md §4.3).
+    Each trait keeps its own forward-selection state and extBIC stopping.
+    """
+    from eagleeverything_tpu.utils.logging import Phase, ScanLogger
+
+    ys = np.asarray(ys, dtype=np.float64)
+    T, n = ys.shape
+    X0 = np.asarray(X0, dtype=np.float64)
+    src = _make_source(handle, keep_records)
+    p = src.p
+    logger = ScanLogger(quiet=quiet)
+
+    backend = TiledScan(src, config)
+    with Phase(logger, "mmt", items=p):
+        K_raw = backend.compute_K()
+    s0 = float(np.mean(np.diag(K_raw)))
+    K = K_raw / (s0 if s0 > 0 else 1.0)
+    if n != src.n:
+        raise ValueError(f"traits have {n} records but {src.n} individuals")
+
+    with Phase(logger, "eigh", items=n):
+        d_eig, U_eig = _eigh_kernel(K, config)
+    ystars = ys @ U_eig          # (T, n): row t is Uᵀ·y_t
+    Xs0 = U_eig.T @ X0
+
+    class _TraitState:
+        def __init__(self, t):
+            self.t = t
+            self.selected: list[int] = []
+            self.Xs = Xs0
+            self.X = X0
+            self.extbic_path: list[float] = []
+            self.loglik_path: list[float] = []
+            self.outlier: list[np.ndarray] = []
+            self.fit = reml_core.reml_maximize_diag(d_eig, ystars[t], Xs0)
+            self.best = reml_core.extbic(self.fit.loglik, n, p, 0, lam_ebic)
+            self.extbic_path.append(self.best)
+            self.loglik_path.append(self.fit.loglik)
+            self.active = True
+
+    states = [_TraitState(t) for t in range(T)]
+
+    for it in range(maxit):
+        active = [s for s in states if s.active]
+        if not active:
+            break
+        B = len(active)
+        Lps = np.empty((B, n, n))
+        Pys = np.empty((B, n))
+        for b, s in enumerate(active):
+            M = _projector_factor_diag(U_eig, d_eig, s.Xs, s.fit.delta)
+            Lps[b] = M
+            Pys[b] = M @ (M.T @ ys[s.t])
+        with Phase(logger, "sweep", items=p * B):
+            t_all = backend.sweep_batched(
+                Lps, Pys, np.array([s.fit.sigma2_g for s in active])
+            )
+        for b, s in enumerate(active):
+            t_vec = t_all[b]
+            t_vec[s.selected] = 0.0
+            s.outlier.append(t_vec.astype(np.float64))
+            cand = int(np.argmax(t_vec))
+            w_col = _impute_column_f64(src.column(cand))
+            Xs_new = np.hstack([s.Xs, (U_eig.T @ w_col)[:, None]])
+            fit_new = reml_core.reml_maximize_diag(d_eig, ystars[s.t], Xs_new)
+            ebic_new = reml_core.extbic(
+                fit_new.loglik, n, p, len(s.selected) + 1, lam_ebic)
+            if ebic_new < s.best or fixit:
+                s.selected.append(cand)
+                s.Xs, s.fit, s.best = Xs_new, fit_new, ebic_new
+                s.X = np.hstack([s.X, w_col[:, None]])
+                s.extbic_path.append(ebic_new)
+                s.loglik_path.append(fit_new.loglik)
+            else:
+                s.active = False
+            logger.event("iteration", it=it, trait=s.t, candidate=cand,
+                         accepted=s.active or fixit,
+                         extbic=float(ebic_new))
+
+    logger.close()
+    return [
+        AMResult(
+            indices=s.selected, extbic_path=s.extbic_path,
+            outlier_stats=s.outlier, loglik_path=s.loglik_path,
+            sigma2_g=s.fit.sigma2_g, sigma2_e=s.fit.sigma2_e,
+            delta=s.fit.delta, n=n, p=p, lam_ebic=lam_ebic,
+            trait_name=(trait_names[s.t] if trait_names else f"trait{s.t}"),
+        )
+        for s in states
+    ]
 
 
 def _projector(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:

@@ -1,0 +1,71 @@
+"""Multi-trait lockstep scan tests (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+import eagleeverything_tpu as ee
+from eagleeverything_tpu.data.simulate import simulate_dataset
+
+
+@pytest.fixture(scope="module")
+def multi():
+    """Two traits over the same genotypes with different planted QTL."""
+    sim1 = simulate_dataset(n=130, p=900, n_qtl=2, seed=31, h2_qtl=0.45)
+    rng = np.random.default_rng(8)
+    # trait 2: different planted QTL on the SAME genotype matrix
+    q2 = np.array([123, 700])
+    W = sim1.geno.astype(np.float64)
+    W = W - W.mean(axis=0)
+    g = W[:, q2] @ np.array([1.5, -1.5])
+    y2 = g / g.std() * np.sqrt(0.5) + rng.standard_normal(130) * np.sqrt(0.5)
+    pheno = {"y1": sim1.y, "y2": y2,
+             "age": sim1.covariate, "sex": np.where(sim1.group, "M", "F")}
+    return sim1, q2, pheno
+
+
+def test_am_multi_matches_single_trait(multi):
+    sim1, q2, pheno = multi
+    results = ee.am_multi(["y1", "y2"], geno=sim1.geno, pheno=pheno,
+                          fformula="age + sex", maxit=6)
+    assert set(results) == {"y1", "y2"}
+    r1_single = ee.am(trait="y1", geno=sim1.geno, pheno=pheno,
+                      fformula="age + sex", maxit=6)
+    r2_single = ee.am(trait="y2", geno=sim1.geno, pheno=pheno,
+                      fformula="age + sex", maxit=6)
+    assert results["y1"].indices == r1_single.indices
+    assert results["y2"].indices == r2_single.indices
+    np.testing.assert_allclose(results["y1"].extbic_path,
+                               r1_single.extbic_path, rtol=1e-8)
+
+
+def test_am_multi_finds_per_trait_qtl(multi):
+    sim1, q2, pheno = multi
+    results = ee.am_multi(["y1", "y2"], geno=sim1.geno, pheno=pheno,
+                          fformula="age + sex", maxit=6)
+    hits2 = sum(np.min(np.abs(np.array(results["y2"].indices) - q)) <= 25
+                for q in q2)
+    assert hits2 == len(q2)  # both planted QTL of trait 2 recovered
+    extras2 = sum(np.min(np.abs(q2 - j)) > 25 for j in results["y2"].indices)
+    assert extras2 <= 2      # polygenic background → occasional extras
+    hits1 = sum(np.min(np.abs(np.array(results["y1"].indices) - q)) <= 25
+                for q in sim1.qtl_idx)
+    assert hits1 >= 1
+
+
+def test_am_multi_union_na(multi):
+    sim1, q2, pheno = multi
+    cols = {k: np.asarray(v).copy() for k, v in pheno.items()}
+    cols["y1"] = cols["y1"].astype(float)
+    cols["y1"][5] = np.nan
+    cols["y2"] = cols["y2"].astype(float)
+    cols["y2"][10] = np.nan
+    results = ee.am_multi(["y1", "y2"], geno=sim1.geno, pheno=cols,
+                          fformula="age", maxit=4)
+    assert results["y1"].n == 128  # union NA drop
+    assert sorted(results["y1"].dropped_records) == [5, 10]
+
+
+def test_am_multi_unknown_trait(multi):
+    sim1, _, pheno = multi
+    with pytest.raises(KeyError):
+        ee.am_multi(["y1", "zzz"], geno=sim1.geno, pheno=pheno)
