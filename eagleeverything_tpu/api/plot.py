@@ -51,8 +51,17 @@ def plot_am(
     else:
         if not res.outlier_stats:
             raise ValueError("AMResult holds no outlier statistics to plot")
-        it = len(res.outlier_stats) - 1 if itnum is None else itnum
-        t = np.asarray(res.outlier_stats[it])
+        if itnum is None:
+            # default: each SNP's max statistic across iterations — selected
+            # markers keep their peak value instead of the zeroed-out final
+            # sweep (reference PlotAM colors by the iteration at which the
+            # statistic changed; the peak view carries the same information
+            # for the highlights)
+            t = np.max(np.stack(res.outlier_stats), axis=0)
+            it = len(res.outlier_stats) - 1
+        else:
+            it = itnum
+            t = np.asarray(res.outlier_stats[it])
         p = t.shape[0]
         fig, ax = plt.subplots(figsize=(10, 4))
         if map is not None:
@@ -86,8 +95,10 @@ def plot_am(
                             textcoords="offset points", xytext=(4, 4),
                             fontsize=8, color="#d7342f")
         ax.set_ylabel("outlier statistic $t_j$")
+        which = (f"peak over {len(res.outlier_stats)} iterations"
+                 if itnum is None else f"iteration {it}")
         ax.set_title(
-            f"AM scan — trait {res.trait_name}, iteration {it}, "
+            f"AM scan — trait {res.trait_name}, {which}, "
             f"{len(res.indices)} selected"
         )
     fig.tight_layout()

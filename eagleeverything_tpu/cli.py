@@ -81,6 +81,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
     enable_compilation_cache()
+    from eagleeverything_tpu.utils.distributed import maybe_initialize
+    maybe_initialize()  # multi-host SPMD when EAGLE_COORD_ADDR is set
     try:
         return _run(args)
     except (KeyError, ValueError, FileNotFoundError) as e:

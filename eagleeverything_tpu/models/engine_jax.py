@@ -152,6 +152,16 @@ class TiledScan:
         itemsize = 2 if config.compute_dtype == "bfloat16" else 4
         cache_bytes = src.p * src.n * itemsize
         self.cache_device = cache_bytes <= config.availmem_gb * 1e9 * 0.5
+        # multi-device: place each streamed tile SNP-sharded over the mesh;
+        # jit propagates the sharding through recode/MMt/score and inserts
+        # the psum for the MMt contraction (GSPMD) — the streamed analog of
+        # ShardedScan for data larger than one chip's HBM
+        self._tile_sharding = None
+        n_dev = jax.device_count()
+        if n_dev > 1 and self.tile_snps % n_dev == 0:
+            mesh = meshlib.make_mesh(config.mesh_shape)
+            if self.tile_snps % (mesh.shape[meshlib.SNP_AXIS] or 1) == 0:
+                self._tile_sharding = meshlib.snp_sharding(mesh)
         # cache entries: (global_snp_offset, valid_rows, device W tile)
         self._wcache: Optional[list[tuple[int, int, jax.Array]]] = None
         self._score = (
@@ -178,7 +188,11 @@ class TiledScan:
             try:
                 for j0, tile in self.src.tiles(self.tile_snps):
                     b = tile.shape[0]
-                    g = jnp.asarray(_pad_tile(tile, self.tile_snps))
+                    padded = _pad_tile(tile, self.tile_snps)
+                    if self._tile_sharding is not None:
+                        g = jax.device_put(padded, self._tile_sharding)
+                    else:
+                        g = jnp.asarray(padded)
                     q.put((j0, b, g))
                 q.put(None)
             except BaseException as e:  # surface I/O errors to the consumer
@@ -248,12 +262,29 @@ class ShardedScan:
         self.mesh = meshlib.make_mesh(config.mesh_shape, devices)
         n_shards = self.mesh.shape[meshlib.SNP_AXIS]
         self.p_pad = meshlib.pad_to_multiple(src.p, n_shards * 128)
-        # assemble padded SNP-major int8 host matrix, then shard-place W
-        Gt = np.full((self.p_pad, src.n), _PAD_VALUE, dtype=np.int8)
-        for j0, tile in src.tiles(max(self.p_pad // n_shards, 128)):
-            Gt[j0 : j0 + tile.shape[0]] = tile
         sharding = meshlib.snp_sharding(self.mesh)
-        g_dev = jax.device_put(Gt, sharding)
+        if jax.process_count() > 1:
+            # SPMD multi-host: each process materializes ONLY its SNP rows
+            # (store shard ↔ host locality, SURVEY.md §6.8) and contributes
+            # them as process-local shards of the global array
+            rows_per_proc = self.p_pad // jax.process_count()
+            r0 = jax.process_index() * rows_per_proc
+            local = np.full((rows_per_proc, src.n), _PAD_VALUE, dtype=np.int8)
+            for j0, tile in src.tiles(max(rows_per_proc, 128)):
+                j1 = j0 + tile.shape[0]
+                lo, hi = max(j0, r0), min(j1, r0 + rows_per_proc)
+                if lo < hi:
+                    local[lo - r0 : hi - r0] = tile[lo - j0 : hi - j0]
+            from jax.experimental import multihost_utils  # noqa: F401
+            g_dev = jax.make_array_from_process_local_data(
+                sharding, local, (self.p_pad, src.n)
+            )
+        else:
+            # single process: assemble the padded SNP-major matrix directly
+            Gt = np.full((self.p_pad, src.n), _PAD_VALUE, dtype=np.int8)
+            for j0, tile in src.tiles(max(self.p_pad // n_shards, 128)):
+                Gt[j0 : j0 + tile.shape[0]] = tile
+            g_dev = jax.device_put(Gt, sharding)
         self.Wt = jax.jit(
             kernels.recode_impute_tile,
             static_argnames=("compute_dtype",),
@@ -269,14 +300,21 @@ class ShardedScan:
         mask[self.src.p :] = 0.0
         if exclude:
             mask[np.asarray(exclude)] = 0.0
+        mask_sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(meshlib.SNP_AXIS))
+        if jax.process_count() > 1:
+            rows = self.p_pad // jax.process_count()
+            r0 = jax.process_index() * rows
+            mask_dev = jax.make_array_from_process_local_data(
+                mask_sharding, mask[r0 : r0 + rows], (self.p_pad,))
+        else:
+            mask_dev = jax.device_put(mask, mask_sharding)
         t, i_glob, m_glob = collectives.score_and_argmax(
             self.Wt,
             jnp.asarray(Lp, jnp.float32),
             jnp.asarray(Py, jnp.float32),
             sigma2_g,
-            jax.device_put(mask,
-                           jax.sharding.NamedSharding(
-                               self.mesh, jax.sharding.PartitionSpec(meshlib.SNP_AXIS))),
+            mask_dev,
             self.mesh,
         )
         return (np.asarray(t)[: self.src.p], int(i_glob), float(m_glob))
@@ -318,7 +356,8 @@ def forward_select(
     src = _make_source(handle, keep_records)
     n = y.shape[0]
     p = src.p
-    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl)
+    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl,
+                        is_host0=jax.process_index() == 0)
 
     backend = ShardedScan(src, config) if sharded else TiledScan(src, config)
 

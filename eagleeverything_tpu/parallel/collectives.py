@@ -67,7 +67,10 @@ def score_and_argmax(
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(SNP_AXIS, None), P(None, None), P(None,), P(), P(SNP_AXIS)),
-        out_specs=(P(SNP_AXIS), P(), P()),
+        out_specs=(P(None,), P(), P()),
+        # t is replicated by the explicit all_gather below; the checker
+        # can't infer that statically on a 2-axis mesh
+        check_vma=False,
     )
     def _sweep(wt, lp, py, s2g, mask):
         ahat = jnp.dot(wt, py, preferred_element_type=jnp.float32)
@@ -83,7 +86,10 @@ def score_and_argmax(
         m_glob = jax.lax.pmax(m_loc, SNP_AXIS)
         cand = jnp.where(m_loc >= m_glob, g_idx.astype(jnp.int32), _INT_MAX)
         i_glob = jax.lax.pmin(cand, SNP_AXIS)
-        return t, i_glob, m_glob
+        # replicate t so multi-process hosts can record the full statistic
+        # vector (p floats — negligible next to the sweep GEMM)
+        t_rep = jax.lax.all_gather(t, SNP_AXIS, axis=0, tiled=True)
+        return t_rep, i_glob, m_glob
 
     return _sweep(Wt, Lp, Py, jnp.asarray(sigma2_g, jnp.float32), tmask)
 

@@ -1,0 +1,91 @@
+"""True multi-process SPMD test: two jax.distributed processes on one
+machine (4 virtual CPU devices each → one global 8-device mesh) run the
+SNP-sharded scan and must reproduce the single-process selection
+(SURVEY.md §5 "Multi-host without a cluster")."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["EAGLE_COORD_ADDR"],
+    num_processes=int(os.environ["EAGLE_NUM_PROCS"]),
+    process_id=int(os.environ["EAGLE_PROC_ID"]),
+)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+import numpy as np
+from eagleeverything_tpu.api.read import GenoHandle
+from eagleeverything_tpu.data.simulate import simulate_dataset
+from eagleeverything_tpu.models import engine_jax
+
+sim = simulate_dataset(n=100, p=512, n_qtl=2, seed=17, h2_qtl=0.5)
+handle = GenoHandle(n=100, p=512, source="<mh>", geno=sim.geno)
+X0 = np.ones((100, 1))
+res = engine_jax.forward_select(sim.y, X0, handle, maxit=4, sharded=True)
+if jax.process_index() == 0:
+    with open(os.environ["EAGLE_TEST_OUT"], "w") as f:
+        json.dump({"indices": res.indices,
+                   "extbic_path": res.extbic_path}, f)
+print("proc", jax.process_index(), "ok", res.indices)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_scan(tmp_path):
+    # single-process reference result (8 local devices, same data)
+    from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.data.simulate import simulate_dataset
+    from eagleeverything_tpu.models import engine_jax
+
+    sim = simulate_dataset(n=100, p=512, n_qtl=2, seed=17, h2_qtl=0.5)
+    handle = GenoHandle(n=100, p=512, source="<mh>", geno=sim.geno)
+    ref = engine_jax.forward_select(sim.y, np.ones((100, 1)), handle,
+                                    maxit=4, sharded=True)
+
+    out_file = str(tmp_path / "mh.json")
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            EAGLE_COORD_ADDR=f"127.0.0.1:{port}",
+            EAGLE_NUM_PROCS="2",
+            EAGLE_PROC_ID=str(pid),
+            EAGLE_TEST_OUT=out_file,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ))
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=480)
+        outs.append(out.decode(errors="replace"))
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, out[-3000:]
+
+    with open(out_file) as f:
+        got = json.load(f)
+    assert got["indices"] == ref.indices
+    np.testing.assert_allclose(got["extbic_path"], ref.extbic_path,
+                               rtol=1e-8)
