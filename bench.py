@@ -37,9 +37,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke-testing the harness")
+    ap.add_argument("--config", default="sweep",
+                    choices=["sweep", "cohort"],
+                    help="sweep: resident-tile scan kernel (default); "
+                         "cohort: out-of-core packed-store streaming scan "
+                         "(BASELINE config 3 scaled)")
     args = ap.parse_args()
     if args.quick:
         args.n, args.p, args.reps = 256, 8192, 2
+    if args.config == "cohort":
+        return bench_cohort(args)
 
     import jax
     import jax.numpy as jnp
@@ -113,6 +120,61 @@ def main() -> None:
             "sweep_gflops": round(2.0 * p * n * n / dev_secs / 1e9, 1),
         },
     }))
+
+
+def bench_cohort(args) -> None:
+    """Out-of-core scan throughput: 2-bit packed store on disk, streamed
+    SNP-major tiles with double-buffered H2D, device cache disabled —
+    measures the full ReadBlock→device→score pipeline, not just the GEMM."""
+    import shutil
+    import tempfile
+
+    from eagleeverything_tpu.io.genostore import GenotypeStore
+    from eagleeverything_tpu.models import engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+
+    n = args.n if args.n != 2048 else 4096
+    p = args.p if args.p != 102400 else 262144
+    if args.quick:
+        n, p = 512, 32768
+    rng = np.random.default_rng(0)
+
+    tmp = tempfile.mkdtemp(prefix="eagle_bench_store_")
+    try:
+        geno = rng.integers(0, 3, size=(n, p), dtype=np.int8)
+        GenotypeStore.create_from_dense(tmp, geno, n_shards=1, packed=True)
+        del geno
+        src = engine_jax.StoreTileSource(tmp)
+        cfg = EagleConfig(availmem_gb=1e-6)  # forbid the device tile cache
+        scan = engine_jax.TiledScan(src, cfg)
+        Lp = rng.standard_normal((n, n)).astype(np.float32)
+        Py = rng.standard_normal(n).astype(np.float32)
+
+        scan.sweep(Lp, Py, 1.0)  # warm-up/compile
+        times = []
+        for _ in range(max(args.reps // 2, 2)):
+            start = time.perf_counter()
+            t = scan.sweep(Lp, Py, 1.0)
+            times.append(time.perf_counter() - start)
+        secs = float(np.median(times))
+        print(json.dumps({
+            "metric": "snps_scored_per_sec_per_chip_outofcore",
+            "value": round(p / secs, 1),
+            "unit": "SNPs/s",
+            "vs_baseline": None,
+            "detail": {
+                "n_individuals": n, "p_snps": p, "store": "2bit-packed",
+                "backend": jax.default_backend(),
+                "sweep_wallclock_s": round(secs, 4),
+                "effective_gflops": round(2.0 * p * n * n / secs / 1e9, 1),
+                "store_read_gb_per_sweep": round(p * n / 4 / 1e9, 3),
+            },
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

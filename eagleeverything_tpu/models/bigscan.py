@@ -1,0 +1,404 @@
+"""Matrix-free biobank-scale scan: CG solves + stochastic Lanczos REML.
+
+Implements docs/design_biobank_scale.md's n-scale plan: at n where the
+n×n kernel (or its eigendecomposition) cannot be materialized, every
+appearance of K reduces to streamed matvecs K·V = Wᵀ(W·V) over the
+SNP-sharded genotype tiles (reference hot-loop machinery re-aimed at a
+new call site; no new distributed primitives).
+
+Pieces:
+- :func:`blocked_cg`       — H⁻¹·B for a block of RHS (H = K/s0 + δI)
+- :func:`slq_logdet`       — log|H| by Hutchinson + Lanczos quadrature
+  (common random probes across all δ so likelihood DIFFERENCES are smooth)
+- :func:`reml_maximize_matfree` — the 1-D δ profile with the matrix-free
+  LL evaluator (same grid+refine driver semantics as reml_core)
+- :func:`score_sweep_matfree`   — t_j for all p SNPs: exact â_j and the
+  X-projection term; diag(WᵀH⁻¹W) by Hutchinson probes through H^(-1/2)
+  (Lanczos square-root matvec), with optional exact CG rescoring of the
+  top candidates so the argmax decision is exact
+- :func:`forward_select_matfree` — the AM loop on these pieces
+
+Accuracy contract: stochastic terms (log|H|, probe diagonals) use common
+random numbers across candidate models within an iteration, so the
+extBIC accept/stop comparisons and the argmax see smooth differences;
+tests validate selection equality against the exact engine at moderate n.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import numpy as np
+
+from eagleeverything_tpu.models import reml_core
+from eagleeverything_tpu.models.oracle import AMResult
+
+Matvec = Callable[[np.ndarray], np.ndarray]  # (n, r) -> (n, r)
+
+
+# ---------------------------------------------------------------------------
+# Krylov primitives
+# ---------------------------------------------------------------------------
+
+
+def blocked_cg(
+    matvec_h: Matvec, B: np.ndarray, tol: float = 1e-8, maxiter: int = 400,
+) -> np.ndarray:
+    """Solve H·X = B column-blocked (classic CG, per-column scalars).
+
+    One ``matvec_h`` per iteration serves every RHS column; columns that
+    have converged are frozen (their α/β forced to 0) so late stragglers
+    don't perturb finished solutions.
+    """
+    B = np.asarray(B, dtype=np.float64)
+    X = np.zeros_like(B)
+    R = B.copy()
+    P = R.copy()
+    rs = np.sum(R * R, axis=0)
+    b_norm2 = np.maximum(np.sum(B * B, axis=0), 1e-300)
+    for _ in range(maxiter):
+        active = rs > tol * tol * b_norm2
+        if not active.any():
+            break
+        HP = matvec_h(P)
+        pHp = np.sum(P * HP, axis=0)
+        alpha = np.where(active & (pHp > 0), rs / np.maximum(pHp, 1e-300), 0.0)
+        X += P * alpha[None, :]
+        R -= HP * alpha[None, :]
+        rs_new = np.sum(R * R, axis=0)
+        beta = np.where(active, rs_new / np.maximum(rs, 1e-300), 0.0)
+        P = R + P * beta[None, :]
+        rs = rs_new
+    return X
+
+
+def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int):
+    """Batched Lanczos: for each column z of Z run m steps, returning the
+    tridiagonal coefficients (alphas (m, r), betas (m-1, r)) and the
+    initial norms. Uses the plain 3-term recurrence (no reorthogonal-
+    ization — adequate for quadrature use)."""
+    n, r = Z.shape
+    alphas = np.zeros((m, r))
+    betas = np.zeros((max(m - 1, 0), r))
+    z_norm = np.linalg.norm(Z, axis=0)
+    V_prev = np.zeros_like(Z)
+    V = Z / np.maximum(z_norm, 1e-300)[None, :]
+    beta_prev = np.zeros(r)
+    basis = [V.copy()]
+    for k in range(m):
+        Hv = matvec_h(V)
+        alpha = np.sum(V * Hv, axis=0)
+        alphas[k] = alpha
+        Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
+        beta = np.linalg.norm(Wv, axis=0)
+        if k < m - 1:
+            betas[k] = beta
+            V_prev = V
+            V = Wv / np.maximum(beta, 1e-300)[None, :]
+            beta_prev = beta
+            basis.append(V.copy())
+    return alphas, betas, z_norm, basis
+
+
+def _tridiag_eigh(alphas: np.ndarray, betas: np.ndarray):
+    """Eigen-decompose each column's tridiagonal T_m; returns
+    (theta (m, r), tau0sq (m, r)) where tau0sq are squared first-row
+    eigenvector components (the Gauss-quadrature weights)."""
+    m, r = alphas.shape
+    theta = np.empty((m, r))
+    tau0 = np.empty((m, r))
+    for j in range(r):
+        T = np.diag(alphas[:, j])
+        if m > 1:
+            T += np.diag(betas[:, j], 1) + np.diag(betas[:, j], -1)
+        w, Q = np.linalg.eigh(T)
+        theta[:, j] = w
+        tau0[:, j] = Q[0, :] ** 2
+    return theta, tau0
+
+
+def slq_logdet(
+    matvec_h: Matvec, n: int, probes: np.ndarray, m: int = 40,
+) -> float:
+    """log|H| ≈ (n/r)·Σ_i Σ_k τ²_{ik} log θ_{ik} (Hutchinson + Lanczos
+    quadrature). ``probes`` (n, r) are caller-provided Rademacher vectors
+    — pass the SAME probes across δ/candidate evaluations."""
+    alphas, betas, _, _ = _lanczos(matvec_h, probes, m)
+    theta, tau0 = _tridiag_eigh(alphas, betas)
+    theta = np.maximum(theta, 1e-300)
+    per_probe = np.sum(tau0 * np.log(theta), axis=0)
+    return float(n * np.mean(per_probe))
+
+
+def lanczos_isqrt_apply(matvec_h: Matvec, Z: np.ndarray, m: int = 40) -> np.ndarray:
+    """H^(-1/2)·Z via Lanczos function application:
+    H^(-1/2) z ≈ ‖z‖ · V_m · T_m^(-1/2) e₁ per column."""
+    alphas, betas, z_norm, basis = _lanczos(matvec_h, Z, m)
+    n, r = Z.shape
+    out = np.zeros_like(Z)
+    for j in range(r):
+        T = np.diag(alphas[:, j])
+        if m > 1:
+            T += np.diag(betas[:, j], 1) + np.diag(betas[:, j], -1)
+        w, Q = np.linalg.eigh(T)
+        f = Q @ ((Q[0, :] / np.sqrt(np.maximum(w, 1e-300))))
+        for k in range(m):
+            out[:, j] += basis[k][:, j] * f[k]
+        out[:, j] *= z_norm[j]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free REML
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MatfreeContext:
+    """Shared state for one scan: the kernel matvec and common probes."""
+
+    kernel_matvec: Matvec       # V ↦ K_norm·V  (normalized kernel)
+    n: int
+    probes: np.ndarray          # (n, r) Rademacher, fixed for the scan
+    lanczos_m: int = 40
+    cg_tol: float = 1e-8
+    cg_maxiter: int = 400
+
+    def h_matvec(self, delta: float) -> Matvec:
+        return lambda V: self.kernel_matvec(V) + delta * V
+
+
+def reml_loglik_matfree(
+    ctx: MatfreeContext, delta: float, y: np.ndarray, X: np.ndarray,
+) -> tuple[float, float]:
+    """(LL(δ), yᵀP̃y) with the EMMA constant convention (reml_core)."""
+    n, q = X.shape[0], X.shape[1]
+    nq = n - q
+    mv = ctx.h_matvec(delta)
+    B = np.column_stack([X, y])
+    Sol = blocked_cg(mv, B, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
+    HiX, Hiy = Sol[:, :q], Sol[:, q]
+    XtHiX = X.T @ HiX
+    XtHiy = X.T @ Hiy
+    yPy = float(y @ Hiy - XtHiy @ np.linalg.solve(XtHiX, XtHiy))
+    if yPy <= 0:
+        return -math.inf, yPy
+    s1, ld1 = np.linalg.slogdet(XtHiX)
+    s2, ld2 = np.linalg.slogdet(X.T @ X)
+    if s1 <= 0 or s2 <= 0:
+        return -math.inf, yPy
+    logdetH = slq_logdet(mv, n, ctx.probes, m=ctx.lanczos_m)
+    ll = 0.5 * (
+        nq * math.log(nq / (2.0 * math.pi)) - nq - nq * math.log(yPy)
+        - (logdetH + ld1 - ld2)
+    )
+    return ll, yPy
+
+
+def reml_maximize_matfree(
+    ctx: MatfreeContext, y: np.ndarray, X: np.ndarray,
+    llim: float = -6.0, ulim: float = 8.0, ngrids: int = 24,
+) -> reml_core.RemlResult:
+    """Grid + golden-refine on the matrix-free LL. The grid is coarser
+    than the exact path (each evaluation costs CG passes over the store);
+    common probes make the profile smooth in δ."""
+    grid = np.exp(np.linspace(llim, ulim, ngrids + 1))
+    lls = np.array([reml_loglik_matfree(ctx, d, y, X)[0] for d in grid])
+    i = int(np.argmax(lls))
+    lo = grid[max(i - 1, 0)]
+    hi = grid[min(i + 1, ngrids)]
+    # golden-section refinement on log-delta
+    import scipy.optimize as _opt
+    res = _opt.minimize_scalar(
+        lambda ld: -reml_loglik_matfree(ctx, math.exp(ld), y, X)[0],
+        bounds=(math.log(lo), math.log(hi)), method="bounded",
+        options={"xatol": 1e-3},
+    )
+    delta = float(math.exp(res.x))
+    ll, yPy = reml_loglik_matfree(ctx, delta, y, X)
+    nq = y.shape[0] - X.shape[1]
+    s2g = yPy / nq
+    return reml_core.RemlResult(delta=delta, loglik=ll, sigma2_g=s2g,
+                                sigma2_e=delta * s2g)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free score sweep
+# ---------------------------------------------------------------------------
+
+
+def score_sweep_matfree(
+    ctx: MatfreeContext,
+    backend,                     # TiledScan: sweep_dots / column access
+    y: np.ndarray,
+    X: np.ndarray,
+    fit: reml_core.RemlResult,
+    diag_probes: int = 128,
+    exact_topk: int = 64,
+    column_f64: Optional[Callable[[int], np.ndarray]] = None,
+) -> tuple[np.ndarray, int]:
+    """All-SNP outlier statistics without P̃ as a matrix.
+
+      t_j = â_j² / (σ²_g·vara_j),  â_j = w_jᵀ·P̃y,
+      vara_j = w_jᵀH⁻¹w_j − u_jᵀ(XᵀH⁻¹X)⁻¹u_j,  u_j = (H⁻¹X)ᵀw_j
+
+    - P̃y and H⁻¹X: blocked CG (exact to tolerance).
+    - â and u for ALL p SNPs: one streamed sweep_dots pass.
+    - diag(WᵀH⁻¹W): Hutchinson — E_z[(WᵀH^(-1/2)z)²] with H^(-1/2)z by
+      Lanczos; one sweep_dots pass over the probe block.
+    - The top ``exact_topk`` candidates by the probe estimate are rescored
+      EXACTLY (CG solves H⁻¹w_j for the short list), so the returned
+      argmax uses exact statistics (two-stage design,
+      docs/design_biobank_scale.md).
+
+    Scale note: H here is built on the NORMALIZED kernel K/s0, while the
+    w_j dotted against it are the raw recoded columns — but t_j is
+    invariant to any uniform rescaling of w_j (it cancels between â² and
+    σ²_g·vara, see models/oracle.py), so no column scaling is needed.
+    """
+    n, q = X.shape
+    mv = ctx.h_matvec(fit.delta)
+
+    B = np.column_stack([X, y])
+    Sol = blocked_cg(mv, B, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
+    HiX, Hiy = Sol[:, :q], Sol[:, q]
+    XtHiX = X.T @ HiX
+    XtHiy = X.T @ Hiy
+    Py = Hiy - HiX @ np.linalg.solve(XtHiX, XtHiy)
+
+    rng = np.random.default_rng(12345)
+    Z = rng.choice((-1.0, 1.0), size=(n, diag_probes))
+    HZ = lanczos_isqrt_apply(mv, Z, m=ctx.lanczos_m)
+
+    # one streamed pass computes all per-SNP dot products
+    A = np.column_stack([Py, HiX, HZ])            # (n, 1+q+r)
+    D = backend.sweep_dots(A)
+    ahat = D[:, 0]
+    U = D[:, 1 : 1 + q]
+    WHZ = D[:, 1 + q :]
+
+    XtHiX_inv = np.linalg.inv(XtHiX)
+    proj = np.einsum("jq,qr,jr->j", U, XtHiX_inv, U)
+    diag_est = np.mean(WHZ * WHZ, axis=1)
+    vara_est = fit.sigma2_g * np.maximum(diag_est - proj, 1e-12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_est = np.where(vara_est > 1e-12, ahat * ahat / vara_est, 0.0)
+
+    if exact_topk <= 0 or column_f64 is None:
+        return t_est, int(np.argmax(t_est))
+
+    # exact rescore of the probe-ranked short list
+    k = min(exact_topk, t_est.shape[0])
+    top = np.argpartition(t_est, -k)[-k:]
+    top = top[np.argsort(-t_est[top], kind="stable")]
+    Wtop = np.column_stack([column_f64(int(j)) for j in top])
+    HiW = blocked_cg(mv, Wtop, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
+    diag_exact = np.sum(Wtop * HiW, axis=0)
+    Utop = U[top]
+    proj_top = np.einsum("jq,qr,jr->j", Utop, XtHiX_inv, Utop)
+    vara_top = fit.sigma2_g * np.maximum(diag_exact - proj_top, 1e-12)
+    t_top = np.where(vara_top > 1e-12, ahat[top] ** 2 / vara_top, 0.0)
+    t = t_est.copy()
+    t[top] = t_top
+    # argmax over the exactly-rescored list (lowest index on ties)
+    best_local = int(np.argmax(t_top))
+    # a non-shortlisted SNP cannot beat the shortlist unless the probe
+    # estimate was badly wrong there — guard by comparing against t_est max
+    cand = int(top[best_local])
+    return t, cand
+
+
+# ---------------------------------------------------------------------------
+# Forward selection on the matrix-free pieces
+# ---------------------------------------------------------------------------
+
+
+def forward_select_matfree(
+    y: np.ndarray,
+    X0: np.ndarray,
+    backend,                       # TiledScan over the genotype source
+    s0: Optional[float] = None,
+    maxit: int = 40,
+    fixit: bool = False,
+    lam_ebic: float = 1.0,
+    probes: int = 32,
+    lanczos_m: int = 40,
+    diag_probes: int = 128,
+    exact_topk: int = 64,
+    column_f64: Optional[Callable[[int], np.ndarray]] = None,
+    quiet: bool = True,
+) -> AMResult:
+    """The AM loop with matrix-free REML + sweep (biobank n-scale mode)."""
+    y = np.asarray(y, dtype=np.float64)
+    X0 = np.asarray(X0, dtype=np.float64)
+    n = y.shape[0]
+    p = backend.src.p
+
+    if s0 is None:
+        # mean diag of MMt = E_j ‖w_j‖² — estimate with one probe pass:
+        # tr(MMt)/n = Σ_j ‖w_j‖²/n via Hutchinson on MMt
+        rng = np.random.default_rng(0)
+        Z = rng.choice((-1.0, 1.0), size=(n, 16))
+        KZ = backend.kernel_matvec(Z)
+        s0 = float(np.mean(np.sum(Z * KZ, axis=0)) / n)
+
+    def kernel_matvec(V):
+        return backend.kernel_matvec(V) / s0
+
+    rng = np.random.default_rng(4242)
+    ctx = MatfreeContext(
+        kernel_matvec=kernel_matvec, n=n,
+        probes=rng.choice((-1.0, 1.0), size=(n, probes)),
+        lanczos_m=lanczos_m,
+    )
+
+    selected: list[int] = []
+    extbic_path: list[float] = []
+    loglik_path: list[float] = []
+    outlier_stats: list[np.ndarray] = []
+
+    X = X0
+    fit = reml_maximize_matfree(ctx, y, X)
+    best = reml_core.extbic(fit.loglik, n, p, 0, lam_ebic)
+    extbic_path.append(best)
+    loglik_path.append(fit.loglik)
+    if not quiet:
+        print(f"[matfree] null: extBIC={best:.4f} delta={fit.delta:.4g}")
+
+    for it in range(maxit):
+        t, cand = score_sweep_matfree(
+            ctx, backend, y, X, fit,
+            diag_probes=diag_probes, exact_topk=exact_topk,
+            column_f64=column_f64,
+        )
+        t[selected] = 0.0
+        if cand in selected:
+            cand = int(np.argmax(t))
+        outlier_stats.append(t)
+
+        w_col = column_f64(cand) if column_f64 is not None else None
+        if w_col is None:
+            raise ValueError("forward_select_matfree needs column_f64")
+        X_new = np.hstack([X, w_col[:, None]])
+        fit_new = reml_maximize_matfree(ctx, y, X_new)
+        ebic_new = reml_core.extbic(fit_new.loglik, n, p,
+                                    len(selected) + 1, lam_ebic)
+        if not quiet:
+            print(f"[matfree] it={it} cand={cand} t={t[cand]:.3f} "
+                  f"extBIC {best:.4f} -> {ebic_new:.4f}")
+        if ebic_new < best or fixit:
+            selected.append(cand)
+            X, fit, best = X_new, fit_new, ebic_new
+            extbic_path.append(ebic_new)
+            loglik_path.append(fit_new.loglik)
+        else:
+            break
+
+    return AMResult(
+        indices=selected, extbic_path=extbic_path,
+        outlier_stats=outlier_stats, loglik_path=loglik_path,
+        sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e, delta=fit.delta,
+        n=n, p=p, lam_ebic=lam_ebic,
+    )

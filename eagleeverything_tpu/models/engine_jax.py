@@ -232,6 +232,24 @@ class TiledScan:
             out[j0 : j0 + b] = np.asarray(self._score(w, Lp_d, Py_d, s2g))[:b]
         return out
 
+    def kernel_matvec(self, V: np.ndarray) -> np.ndarray:
+        """Raw-kernel matvec MMt·V (V (n, r)) via streamed tiles — K is
+        never materialized (biobank n; docs/design_biobank_scale.md)."""
+        V_d = jnp.asarray(V, dtype=jnp.float32)
+        acc = jnp.zeros((self.src.n, V_d.shape[1]), dtype=jnp.float32)
+        for _, _, w in self._device_tiles():
+            acc = acc + kernels.kernel_matvec_tile(w, V_d)
+        return np.asarray(acc, dtype=np.float64)
+
+    def sweep_dots(self, A: np.ndarray) -> np.ndarray:
+        """Per-SNP dot products Wᵀ·A ((p, r)) via streamed tiles."""
+        A_d = jnp.asarray(A, dtype=jnp.float32)
+        out = np.empty((self.src.p, A.shape[1]))
+        for j0, b, w in self._device_tiles():
+            out[j0 : j0 + b] = np.asarray(
+                kernels.sweep_dots_tile(w, A_d))[:b]
+        return out
+
     def sweep_batched(
         self, Lp: np.ndarray, Py: np.ndarray, sigma2_g: np.ndarray
     ) -> np.ndarray:

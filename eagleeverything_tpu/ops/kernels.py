@@ -107,6 +107,27 @@ def score_tile_sqrt_bf16(
     return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
 
 
+@jax.jit
+def kernel_matvec_tile(Wt: jax.Array, V: jax.Array) -> jax.Array:
+    """Per-tile contribution to K·V without materializing K:
+    Wtᵀ·(Wt·V) for a SNP-major tile Wt (b, n) and block V (n, r).
+    Summed over tiles this is (WᵀW)·V = MMt·V — the matrix-free kernel
+    matvec for biobank-scale n (docs/design_biobank_scale.md)."""
+    BV = jnp.dot(Wt, V, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        Wt, BV, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.jit
+def sweep_dots_tile(Wt: jax.Array, A: jax.Array) -> jax.Array:
+    """Wt·A for one tile: per-SNP dot products against a block of vectors
+    A (n, r) → (b, r). Streams the cross-products WᵀA the matrix-free
+    score sweep needs (â, XᵀH⁻¹-projections, Hutchinson probes)."""
+    return jnp.dot(Wt, A, preferred_element_type=jnp.float32)
+
+
 def projector_sqrt(Pm: "np.ndarray") -> "np.ndarray":
     """Host-f64 symmetric square root L of the PSD projector P̃ (P̃=LLᵀ)."""
     import numpy as np

@@ -1,0 +1,90 @@
+"""Matrix-free (biobank-mode) scan tests: CG/SLQ/Lanczos primitives
+against dense linear algebra, and the full matfree forward selection
+against the exact engine (docs/design_biobank_scale.md)."""
+
+import numpy as np
+import pytest
+
+from eagleeverything_tpu.api.read import GenoHandle
+from eagleeverything_tpu.data.simulate import simulate_dataset
+from eagleeverything_tpu.models import bigscan, engine_jax, oracle, reml_core
+from eagleeverything_tpu.utils.config import EagleConfig
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(1)
+    n = 120
+    A = rng.standard_normal((n, 3 * n)) / np.sqrt(3 * n)
+    K = A @ A.T
+    K /= np.mean(np.diag(K))
+    H = K + 0.8 * np.eye(n)
+    return K, H, rng
+
+
+def test_blocked_cg(problem):
+    K, H, rng = problem
+    B = rng.standard_normal((H.shape[0], 5))
+    X = bigscan.blocked_cg(lambda V: H @ V, B, tol=1e-10)
+    np.testing.assert_allclose(X, np.linalg.solve(H, B), rtol=1e-6, atol=1e-8)
+
+
+def test_slq_logdet(problem):
+    K, H, rng = problem
+    n = H.shape[0]
+    probes = rng.choice((-1.0, 1.0), size=(n, 64))
+    est = bigscan.slq_logdet(lambda V: H @ V, n, probes, m=40)
+    _, exact = np.linalg.slogdet(H)
+    assert est == pytest.approx(exact, rel=0.02)
+
+
+def test_lanczos_isqrt(problem):
+    K, H, rng = problem
+    n = H.shape[0]
+    Z = rng.standard_normal((n, 4))
+    approx = bigscan.lanczos_isqrt_apply(lambda V: H @ V, Z, m=60)
+    w, U = np.linalg.eigh(H)
+    exact = U @ ((U.T @ Z) / np.sqrt(w)[:, None])
+    np.testing.assert_allclose(approx, exact, rtol=1e-4, atol=1e-6)
+
+
+def test_matfree_reml_matches_exact(problem):
+    K, H, rng = problem
+    n = K.shape[0]
+    X = np.column_stack([np.ones(n), rng.standard_normal(n)])
+    L = np.linalg.cholesky(K + 1e-10 * np.eye(n))
+    y = 0.3 + 1.2 * (L @ rng.standard_normal(n)) + rng.standard_normal(n)
+
+    d, U = np.linalg.eigh(K)
+    exact = reml_core.reml_maximize_diag(np.maximum(d, 0), U.T @ y, U.T @ X)
+
+    ctx = bigscan.MatfreeContext(
+        kernel_matvec=lambda V: K @ V, n=n,
+        probes=rng.choice((-1.0, 1.0), size=(n, 48)), lanczos_m=40,
+    )
+    mf = bigscan.reml_maximize_matfree(ctx, y, X)
+    assert mf.delta == pytest.approx(exact.delta, rel=0.15)
+    assert mf.loglik == pytest.approx(exact.loglik, abs=1.5)  # SLQ noise
+    assert mf.sigma2_g == pytest.approx(exact.sigma2_g, rel=0.15)
+
+
+def test_matfree_forward_select_matches_exact_engine():
+    sim = simulate_dataset(n=130, p=900, n_qtl=2, seed=31, h2_qtl=0.5)
+    X0 = np.ones((130, 1))
+    handle = GenoHandle(n=130, p=900, source="<bigscan>", geno=sim.geno)
+
+    exact = engine_jax.forward_select(sim.y, X0, handle, maxit=5)
+
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+
+    def column_f64(j):
+        return engine_jax._impute_column_f64(src.column(j))
+
+    mf = bigscan.forward_select_matfree(
+        sim.y, X0, backend, maxit=5, probes=32, diag_probes=96,
+        exact_topk=32, column_f64=column_f64,
+    )
+    assert mf.indices == exact.indices
+    np.testing.assert_allclose(mf.extbic_path, exact.extbic_path,
+                               rtol=0.02)  # SLQ-noise tolerance
