@@ -94,6 +94,13 @@ def read_marker(
     names = chrom = pos = None
     is_bed = type_l == "plink" and filename.endswith(".bed")
 
+    # auto-spill: a file bigger than the host-RAM budget goes straight to
+    # the on-disk sharded store (reference: ReadMarker always writes the
+    # packed binary artifact; we keep small data in RAM but match the
+    # out-of-core behavior past availmemGb, SURVEY.md §4.1)
+    if store_dir is None and os.path.getsize(filename) > availmemGb * 1e9:
+        store_dir = filename + ".store"
+
     if type_l in ("text", "ascii"):
         blocks_iter = parsers.iter_ascii_blocks(filename, AA, AB, BB, missing)
     elif is_bed:

@@ -148,7 +148,8 @@ class TiledScan:
     def __init__(self, src: TileSource, config: EagleConfig):
         self.src = src
         self.config = config
-        self.tile_snps = min(config.snp_tile, meshlib.pad_to_multiple(src.p, 128))
+        self.tile_snps = config.resolve_snp_tile(
+            src.n, meshlib.pad_to_multiple(src.p, 128))
         itemsize = 2 if config.compute_dtype == "bfloat16" else 4
         cache_bytes = src.p * src.n * itemsize
         self.cache_device = cache_bytes <= config.availmem_gb * 1e9 * 0.5
@@ -642,6 +643,7 @@ def _projector_factor_diag(
     Cost: one column scaling of U (O(n²)) plus two rank-q GEMMs (O(n²q))
     — replaces the per-iteration Cholesky/eigh entirely.
     """
+    X_star, _ = reml_core.independent_cols(np.asarray(X_star, np.float64))
     s = 1.0 / np.sqrt(d + delta)
     V = X_star * s[:, None]
     Q, _ = np.linalg.qr(V)

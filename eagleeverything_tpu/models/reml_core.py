@@ -133,6 +133,25 @@ def spectral_inputs(
     return lam, eta * eta, q
 
 
+def independent_cols(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce X to a maximal linearly-independent column subset (pivoted
+    QR, original order preserved). REML depends on X only through its
+    column space, so the reduction is exact; it guards every X-consuming
+    path against aliased covariates or perfectly collinear selected
+    markers."""
+    from scipy import linalg as sla
+    if X.shape[1] == 0:
+        return X, np.arange(0)
+    _, R, piv = sla.qr(X, mode="economic", pivoting=True)
+    diag = np.abs(np.diag(R))
+    if diag.size == 0 or diag[0] == 0.0:
+        return X[:, :0], np.arange(0)
+    tol = max(X.shape) * np.finfo(np.float64).eps * diag[0]
+    rank = int(np.sum(diag > tol))
+    keep = np.sort(piv[:rank])
+    return X[:, keep], keep
+
+
 def reml_loglik_diag(
     delta: float, d: np.ndarray, y_star: np.ndarray, X_star: np.ndarray,
     q: int,
@@ -188,7 +207,8 @@ def reml_maximize_diag(
     d = np.maximum(d, 0.0)
     y_star = np.asarray(y_star, dtype=np.float64)
     X_star = np.asarray(X_star, dtype=np.float64)
-    q = int(np.linalg.matrix_rank(X_star))
+    X_star, _ = independent_cols(X_star)
+    q = X_star.shape[1]
 
     logdelta = np.linspace(llim, ulim, ngrids + 1)
     grid = np.exp(logdelta)

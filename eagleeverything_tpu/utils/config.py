@@ -29,7 +29,9 @@ class EagleConfig:
         host CPU because forward selection is a discrete argmax and tiny
         numeric drift flips markers (SURVEY.md §8 "hardest parts" (1)).
       snp_tile: number of SNPs per streamed device tile for the out-of-core
-        path. Must be a multiple of 128 (lane width).
+        path; must be a multiple of 128 (lane width). ``None`` (default)
+        auto-sizes to a ~512 MB float32 device tile — large tiles amortize
+        dispatch latency at small n, small tiles bound HBM use at large n.
       availmem_gb: host-RAM budget per block for out-of-core streaming —
         the reference's ``availmemGb`` knob.
       use_pallas: enable the fused Pallas score-sweep kernel where
@@ -42,7 +44,7 @@ class EagleConfig:
     mesh_shape: Optional[Tuple[int, int]] = None
     compute_dtype: str = "float32"
     decision_dtype: str = "float64"
-    snp_tile: int = 8192
+    snp_tile: Optional[int] = None
     availmem_gb: float = 8.0
     use_pallas: bool = True
     host_eigh_max_n: int = 8192
@@ -51,8 +53,15 @@ class EagleConfig:
     def __post_init__(self):
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype must be float32|bfloat16, got {self.compute_dtype}")
-        if self.snp_tile % 128 != 0:
+        if self.snp_tile is not None and self.snp_tile % 128 != 0:
             raise ValueError(f"snp_tile must be a multiple of 128, got {self.snp_tile}")
+
+    def resolve_snp_tile(self, n: int, p_pad: int) -> int:
+        """Tile size in SNPs: explicit setting, else ~512 MB f32 auto."""
+        if self.snp_tile is not None:
+            return min(self.snp_tile, p_pad)
+        auto = int(512e6 / 4 / max(n, 1)) // 128 * 128
+        return max(128, min(max(auto, 1024), p_pad))
 
 
 DEFAULT_CONFIG = EagleConfig()

@@ -1,0 +1,104 @@
+"""Edge-case and robustness tests across layers."""
+
+import os
+
+import numpy as np
+import pytest
+
+import eagleeverything_tpu as ee
+from eagleeverything_tpu.api.design import build_design
+from eagleeverything_tpu.api.read import GenoHandle
+from eagleeverything_tpu.data import simulate as simmod
+from eagleeverything_tpu.io.genostore import GenotypeStore
+from eagleeverything_tpu.models import engine_jax, oracle, reml_core
+
+
+def test_read_marker_auto_spills_to_store(tmp_path):
+    sim = simmod.simulate_dataset(n=40, p=200, seed=6)
+    f = str(tmp_path / "geno.txt")
+    simmod.write_ascii_geno(sim, f)
+    h = ee.read_marker(f, availmemGb=1e-6)  # force the spill
+    assert h.store_dir == f + ".store"
+    assert h.geno is None
+    np.testing.assert_array_equal(h.materialize(), sim.geno)
+
+
+def test_collinear_covariate_does_not_crash():
+    sim = simmod.simulate_dataset(n=100, p=400, n_qtl=2, seed=12, h2_qtl=0.5)
+    n = 100
+    X0 = np.column_stack([np.ones(n), sim.covariate, sim.covariate])  # aliased
+    res = engine_jax.forward_select(
+        sim.y, X0, GenoHandle(n=n, p=400, source="<t>", geno=sim.geno),
+        maxit=4)
+    assert np.isfinite(res.extbic_path).all()
+
+
+def test_selected_marker_collinear_candidate():
+    """A SNP duplicated in the matrix: selecting one must not blow up when
+    the duplicate becomes the next candidate (rank-deficient X guard)."""
+    sim = simmod.simulate_dataset(n=80, p=300, n_qtl=1, seed=9, h2_qtl=0.6)
+    G = sim.geno.copy()
+    j = int(sim.qtl_idx[0])
+    dup = 0 if j != 0 else 1
+    G[:, dup] = G[:, j]  # perfect duplicate of the causal SNP
+    X0 = np.ones((80, 1))
+    res = engine_jax.forward_select(
+        sim.y, X0, GenoHandle(n=80, p=300, source="<t>", geno=G), maxit=5)
+    assert np.isfinite(res.extbic_path).all()
+    assert len(set(res.indices)) == len(res.indices)  # no repeats
+
+
+def test_monomorphic_snps_never_selected():
+    sim = simmod.simulate_dataset(n=60, p=150, n_qtl=1, seed=2, h2_qtl=0.6)
+    G = sim.geno.copy()
+    mono = [3, 77, 149]
+    for j in mono:
+        G[:, j] = 1
+    res = oracle.forward_select(sim.y, np.ones((60, 1)), G, maxit=4)
+    assert not (set(res.indices) & set(mono))
+    for t in res.outlier_stats:
+        assert all(t[j] == 0.0 for j in mono)
+
+
+def test_store_more_shards_than_snps(tmp_path):
+    G = np.ones((10, 3), dtype=np.int8)
+    st = GenotypeStore.create_from_dense(str(tmp_path / "s"), G, n_shards=8)
+    assert st.n_shards == 3  # clamped to p
+    np.testing.assert_array_equal(st.to_dense(), G)
+
+
+def test_design_builder_factors_and_errors():
+    cols = {"y": np.array([1.0, 2.0, 3.0]),
+            "grp": np.array(["a", "b", "c"]),
+            "x": np.array([0.1, 0.2, 0.3])}
+    X, names = build_design(cols, "x + grp", 3)
+    assert names == ["(Intercept)", "x", "grpb", "grpc"]
+    assert X.shape == (3, 4)
+    with pytest.raises(KeyError):
+        build_design(cols, "nope", 3)
+
+
+def test_tiny_p_padding():
+    """p far below the lane width still works through the padded tiles."""
+    sim = simmod.simulate_dataset(n=50, p=20, n_qtl=1, seed=3, h2_qtl=0.6)
+    res_o = oracle.forward_select(sim.y, np.ones((50, 1)), sim.geno, maxit=3)
+    res_e = engine_jax.forward_select(
+        sim.y, np.ones((50, 1)),
+        GenoHandle(n=50, p=20, source="<t>", geno=sim.geno), maxit=3)
+    assert res_e.indices == res_o.indices
+
+
+def test_reml_all_noise_delta_upper_bound():
+    """Pure-noise trait against a random kernel: δ̂ should hit the grid's
+    upper region (σ²_g ≈ 0) without numerical failure."""
+    rng = np.random.default_rng(0)
+    n = 60
+    A = rng.standard_normal((n, n))
+    K = A @ A.T / n
+    K /= np.mean(np.diag(K))
+    y = rng.standard_normal(n)
+    d, U = np.linalg.eigh(K)
+    fit = reml_core.reml_maximize_diag(np.maximum(d, 0), U.T @ y,
+                                       (U.T @ np.ones((n, 1))))
+    assert np.isfinite(fit.loglik)
+    assert fit.delta > 1.0
