@@ -137,7 +137,7 @@ def bench_cohort(args) -> None:
     import jax
 
     n = args.n if args.n != 2048 else 4096
-    p = args.p if args.p != 102400 else 262144
+    p = args.p if args.p != 102400 else 131072
     if args.quick:
         n, p = 512, 32768
     rng = np.random.default_rng(0)

@@ -77,6 +77,19 @@ def am(
             keep_records=prep.keep_individuals, sharded=(engine == "sharded"),
             ckpt_dir=ckpt_dir, resume=resume, log_jsonl=log_jsonl,
         )
+    elif engine == "matfree":
+        # biobank n-scale mode: K never materialized — CG/SLQ REML and the
+        # two-stage probe/exact score sweep (docs/design_biobank_scale.md)
+        from eagleeverything_tpu.models import bigscan, engine_jax
+        if prep.Z is not None:
+            raise ValueError("engine='matfree' does not support Zmat yet")
+        src = engine_jax._make_source(prep.handle, prep.keep_individuals)
+        backend = engine_jax.TiledScan(src, config)
+        res = bigscan.forward_select_matfree(
+            prep.y, prep.X0, backend, maxit=maxit, fixit=fixit,
+            lam_ebic=lam, quiet=quiet,
+            column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)),
+        )
     else:
         raise ValueError(f"unknown engine {engine!r}")
 

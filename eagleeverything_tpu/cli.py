@@ -46,7 +46,7 @@ def main(argv=None) -> int:
         p.add_argument("--zmat", default=None)
         p.add_argument("--availmemGb", type=float, default=8.0)
         p.add_argument("--engine", default="auto",
-                       choices=["auto", "jax", "sharded", "oracle"])
+                       choices=["auto", "jax", "sharded", "matfree", "oracle"])
 
     am_p = sub.add_parser("am", help="run the multiple-locus scan")
     add_scan_args(am_p)
