@@ -19,7 +19,7 @@ Zmat designs reduce to host-side transforms of the n×n algebra
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Iterator, Optional
 
 import numpy as np
@@ -294,7 +294,6 @@ class ShardedScan:
                 lo, hi = max(j0, r0), min(j1, r0 + rows_per_proc)
                 if lo < hi:
                     local[lo - r0 : hi - r0] = tile[lo - j0 : hi - j0]
-            from jax.experimental import multihost_utils  # noqa: F401
             g_dev = jax.make_array_from_process_local_data(
                 sharding, local, (self.p_pad, src.n)
             )

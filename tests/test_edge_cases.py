@@ -102,3 +102,37 @@ def test_reml_all_noise_delta_upper_bound():
                                        (U.T @ np.ones((n, 1))))
     assert np.isfinite(fit.loglik)
     assert fit.delta > 1.0
+
+
+def test_engine_store_with_zmat(tmp_path):
+    """Out-of-core store + Zmat repeated measures combined."""
+    sim = simmod.simulate_dataset(n=60, p=300, n_qtl=1, seed=5, h2_qtl=0.6)
+    d = str(tmp_path / "zstore")
+    GenotypeStore.create_from_dense(d, sim.geno, n_shards=2, packed=True)
+    handle = GenoHandle(n=60, p=300, source="<z>", store_dir=d)
+    Z = np.kron(np.eye(60), np.ones((2, 1)))
+    rng = np.random.default_rng(2)
+    y_rec = Z @ sim.y + 0.3 * rng.standard_normal(120)
+    X0 = np.ones((120, 1))
+    res_o = oracle.forward_select(y_rec, X0, sim.geno, maxit=3, Z=Z)
+    res_e = engine_jax.forward_select(y_rec, X0, handle, maxit=3, Z=Z)
+    assert res_e.indices == res_o.indices
+
+
+def test_bigscan_on_store(tmp_path):
+    """Matrix-free scan over the packed on-disk store."""
+    from eagleeverything_tpu.models import bigscan
+    from eagleeverything_tpu.utils.config import EagleConfig
+    sim = simmod.simulate_dataset(n=90, p=400, n_qtl=1, seed=8, h2_qtl=0.6)
+    d = str(tmp_path / "bstore")
+    GenotypeStore.create_from_dense(d, sim.geno, n_shards=2, packed=True)
+    src = engine_jax.StoreTileSource(d)
+    backend = engine_jax.TiledScan(src, EagleConfig(availmem_gb=1e-6))
+    exact = engine_jax.forward_select(
+        sim.y, np.ones((90, 1)),
+        GenoHandle(n=90, p=400, source="<b>", geno=sim.geno), maxit=3)
+    mf = bigscan.forward_select_matfree(
+        sim.y, np.ones((90, 1)), backend, maxit=3, probes=32,
+        diag_probes=96, exact_topk=32,
+        column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)))
+    assert mf.indices == exact.indices
