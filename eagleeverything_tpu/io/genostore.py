@@ -220,6 +220,18 @@ class GenotypeStore:
                 yield j0 + t0, _decode(np.asarray(raw[t0:t1]), self.n,
                                        self.packed)
 
+    def iter_raw_tiles(self, tile_snps: int) -> Iterator[tuple[int, np.ndarray]]:
+        """Yield (global_snp_offset, raw shard bytes (b, row_bytes)) without
+        decoding — for 2-bit stores the packed bytes go to the device as-is
+        and are unpacked on-chip (4× less H2D traffic; ops/kernels
+        unpack_recode_tile)."""
+        for k in range(self.n_shards):
+            raw = self._shard_raw(k)
+            j0 = self.shard_offsets[k]
+            for t0 in range(0, raw.shape[0], tile_snps):
+                t1 = min(t0 + tile_snps, raw.shape[0])
+                yield j0 + t0, np.asarray(raw[t0:t1])
+
     def column(self, j: int) -> np.ndarray:
         """One genotype column (SNP j) — reference: ``extract_geno_rcpp``
         (SURVEY.md §3.3): a single sequential row read in SNP-major layout."""

@@ -85,6 +85,13 @@ class StoreTileSource(TileSource):
                 tile = tile[:, self._keep]
             yield j0, tile
 
+    def raw_packed_tiles(self, tile_snps: int):
+        """(offset, packed-bytes) tiles for device-side unpack, or None if
+        the store isn't 2-bit packed / individuals are masked."""
+        if not self._store.packed or self._keep is not None:
+            return None
+        return self._store.iter_raw_tiles(tile_snps)
+
     def column(self, j: int) -> np.ndarray:
         col = self._store.column(j)
         return col if self._keep is None else col[self._keep]
@@ -185,16 +192,35 @@ class TiledScan:
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
+        # 2-bit packed stores ship raw bytes and unpack on-device (4× less
+        # H2D); pad rows with 0x55 = four het codes → W = 0, inert
+        raw_iter = None
+        get_raw = getattr(self.src, "raw_packed_tiles", None)
+        if get_raw is not None:
+            raw_iter = get_raw(self.tile_snps)
+
         def producer():
             try:
-                for j0, tile in self.src.tiles(self.tile_snps):
-                    b = tile.shape[0]
-                    padded = _pad_tile(tile, self.tile_snps)
-                    if self._tile_sharding is not None:
-                        g = jax.device_put(padded, self._tile_sharding)
-                    else:
-                        g = jnp.asarray(padded)
-                    q.put((j0, b, g))
+                if raw_iter is not None:
+                    for j0, raw in raw_iter:
+                        b = raw.shape[0]
+                        if b < self.tile_snps:
+                            pad = np.full(
+                                (self.tile_snps - b, raw.shape[1]),
+                                0x55, dtype=np.uint8)
+                            raw = np.vstack([raw, pad])
+                        g = (jax.device_put(raw, self._tile_sharding)
+                             if self._tile_sharding is not None
+                             else jnp.asarray(raw))
+                        q.put((j0, b, g, True))
+                else:
+                    for j0, tile in self.src.tiles(self.tile_snps):
+                        b = tile.shape[0]
+                        padded = _pad_tile(tile, self.tile_snps)
+                        g = (jax.device_put(padded, self._tile_sharding)
+                             if self._tile_sharding is not None
+                             else jnp.asarray(padded))
+                        q.put((j0, b, g, False))
                 q.put(None)
             except BaseException as e:  # surface I/O errors to the consumer
                 q.put(e)
@@ -207,8 +233,14 @@ class TiledScan:
                 break
             if isinstance(item, BaseException):
                 raise item
-            j0, b, g = item
-            w = kernels.recode_impute_tile(g, compute_dtype=self.config.compute_dtype)
+            j0, b, g, packed = item
+            if packed:
+                w = kernels.unpack_recode_tile(
+                    g, n=self.src.n,
+                    compute_dtype=self.config.compute_dtype)
+            else:
+                w = kernels.recode_impute_tile(
+                    g, compute_dtype=self.config.compute_dtype)
             if cache is not None:
                 cache.append((j0, b, w))
             yield j0, b, w

@@ -42,6 +42,30 @@ def recode_impute_tile(g_tile: jax.Array, compute_dtype: str = "float32") -> jax
     return W.astype(jnp.dtype(compute_dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("n", "compute_dtype"))
+def unpack_recode_tile(
+    packed: jax.Array, n: int, compute_dtype: str = "float32"
+) -> jax.Array:
+    """2-bit packed tile (b, ceil(n/4) bytes) → recoded W tile (b, n).
+
+    Unpacks the store's packed encoding (codes 0/1/2 = dose, 3 = missing)
+    ON DEVICE and fuses the mean-impute/center recode — host→device
+    traffic drops 4× vs shipping int8 (and 16× vs f32). The codes sit in
+    uint8 lanes; shifts/masks are VPU ops.
+    """
+    b = packed.shape[0]
+    codes = jnp.stack(
+        [(packed >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
+    ).reshape(b, -1)[:, :n]
+    miss = codes == 3
+    g = codes.astype(jnp.float32)
+    cnt = jnp.sum(~miss, axis=1)
+    s = jnp.sum(jnp.where(miss, 0.0, g), axis=1)
+    mean = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 1.0)
+    W = jnp.where(miss, mean[:, None], g) - 1.0
+    return W.astype(jnp.dtype(compute_dtype))
+
+
 @jax.jit
 def mmt_accumulate(K: jax.Array, Wt: jax.Array) -> jax.Array:
     """K (n,n) f32 += Wtᵀ·Wt for a SNP-major tile Wt (b, n).

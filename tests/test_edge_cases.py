@@ -136,3 +136,22 @@ def test_bigscan_on_store(tmp_path):
         diag_probes=96, exact_topk=32,
         column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)))
     assert mf.indices == exact.indices
+
+
+def test_packed_store_device_unpack_matches_dense(tmp_path):
+    """2-bit store streams raw bytes to device (on-chip unpack) — results
+    must match the dense in-memory scan exactly."""
+    sim = simmod.simulate_dataset(n=70, p=350, n_qtl=1, seed=14,
+                                  h2_qtl=0.6, missing_rate=0.05)
+    d = str(tmp_path / "pk")
+    GenotypeStore.create_from_dense(d, sim.geno, n_shards=2, packed=True)
+    handle_p = GenoHandle(n=70, p=350, source="<p>", store_dir=d)
+    handle_d = GenoHandle(n=70, p=350, source="<d>", geno=sim.geno)
+    X0 = np.ones((70, 1))
+    from eagleeverything_tpu.utils.config import EagleConfig
+    cfg = EagleConfig(availmem_gb=1e-6)  # force streaming (no device cache)
+    r_p = engine_jax.forward_select(sim.y, X0, handle_p, maxit=3, config=cfg)
+    r_d = engine_jax.forward_select(sim.y, X0, handle_d, maxit=3)
+    assert r_p.indices == r_d.indices
+    # K is f32-accumulated in a different tile order → ~1e-8 extBIC drift
+    np.testing.assert_allclose(r_p.extbic_path, r_d.extbic_path, rtol=1e-6)
