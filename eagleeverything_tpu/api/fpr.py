@@ -40,6 +40,7 @@ def fpr4am(
     seed: int = 0,
     quiet: bool = True,
     config: EagleConfig = DEFAULT_CONFIG,
+    perm_batch: Optional[int] = None,
 ) -> dict:
     """Return the calibrated λ (``setlambda``) for :func:`am`.
 
@@ -72,7 +73,7 @@ def fpr4am(
     # permutations are batched through the device sweep (SURVEY.md §4.3:
     # "batch permutations as a leading axis"); chunk size bounds the
     # (B, n, n) projector-factor stack and the (B, tile, n) intermediates
-    chunk = max(1, min(numreps, int(2e8 / max(n * n, 1))))
+    chunk = perm_batch or max(1, min(numreps, int(2e8 / max(n * n, 1))))
     for c0 in range(0, numreps, chunk):
         B = min(chunk, numreps - c0)
         y_perms = np.stack([rng.permutation(y) for _ in range(B)])

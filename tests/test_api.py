@@ -95,6 +95,18 @@ def test_fpr4am_batched(handles):
     assert np.isfinite(out["lambda_crits"]).all()
 
 
+def test_fpr4am_batching_invariance(handles):
+    """Permutation batching must not change the calibration (SURVEY.md §5
+    property tests: permutation batching equivalence)."""
+    geno, pheno, _, _ = handles
+    a = ee.fpr4am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                  numreps=5, seed=3, perm_batch=1)
+    b = ee.fpr4am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                  numreps=5, seed=3, perm_batch=5)
+    np.testing.assert_allclose(a["lambda_crits"], b["lambda_crits"],
+                               rtol=1e-8)
+
+
 def test_plot_am_smoke(handles, tmp_path):
     pytest.importorskip("matplotlib")
     geno, pheno, map_h, _ = handles
