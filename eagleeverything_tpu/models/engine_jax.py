@@ -51,6 +51,18 @@ class TileSource:
     def tiles(self, tile_snps: int) -> Iterator[tuple[int, np.ndarray]]:
         raise NotImplementedError
 
+    def tiles_in(self, lo: int, hi: int, tile_snps: int
+                 ) -> Iterator[tuple[int, np.ndarray]]:
+        """Tiles restricted to the SNP range [lo, hi) — multi-host SPMD
+        locality: each host decodes only its own shard range. Generic
+        fallback filters/clips the full stream; store sources override to
+        avoid decoding foreign shards."""
+        for j0, tile in self.tiles(tile_snps):
+            j1 = j0 + tile.shape[0]
+            a, b = max(j0, lo), min(j1, hi)
+            if a < b:
+                yield a, tile[a - j0 : b - j0]
+
     def column(self, j: int) -> np.ndarray:
         raise NotImplementedError
 
@@ -84,6 +96,25 @@ class StoreTileSource(TileSource):
             if self._keep is not None:
                 tile = tile[:, self._keep]
             yield j0, tile
+
+    def tiles_in(self, lo: int, hi: int, tile_snps: int):
+        """Range-restricted tiles: only shards intersecting [lo, hi) are
+        opened and decoded (host-local shard reads in multi-host SPMD)."""
+        st = self._store
+        for k in range(st.n_shards):
+            s0, s1 = st.shard_offsets[k], st.shard_offsets[k + 1]
+            if s1 <= lo or s0 >= hi:
+                continue
+            raw = st._shard_raw(k)
+            a, b = max(s0, lo), min(s1, hi)
+            for t0 in range(a, b, tile_snps):
+                t1 = min(t0 + tile_snps, b)
+                from eagleeverything_tpu.io.genostore import _decode
+                tile = _decode(np.asarray(raw[t0 - s0 : t1 - s0]),
+                               st.n, st.packed)
+                if self._keep is not None:
+                    tile = tile[:, self._keep]
+                yield t0, tile
 
     def raw_packed_tiles(self, tile_snps: int):
         """(offset, packed-bytes) tiles for device-side unpack, or None if
@@ -320,12 +351,10 @@ class ShardedScan:
             # them as process-local shards of the global array
             rows_per_proc = self.p_pad // jax.process_count()
             r0 = jax.process_index() * rows_per_proc
+            hi = min(r0 + rows_per_proc, src.p)
             local = np.full((rows_per_proc, src.n), _PAD_VALUE, dtype=np.int8)
-            for j0, tile in src.tiles(max(rows_per_proc, 128)):
-                j1 = j0 + tile.shape[0]
-                lo, hi = max(j0, r0), min(j1, r0 + rows_per_proc)
-                if lo < hi:
-                    local[lo - r0 : hi - r0] = tile[lo - j0 : hi - j0]
+            for j0, tile in src.tiles_in(r0, hi, max(rows_per_proc, 128)):
+                local[j0 - r0 : j0 - r0 + tile.shape[0]] = tile
             g_dev = jax.make_array_from_process_local_data(
                 sharding, local, (self.p_pad, src.n)
             )
