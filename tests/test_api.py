@@ -158,3 +158,53 @@ def test_cli_error_paths(data_dir):
     rc = main(["am", "--geno", "/does/not/exist",
                "--pheno", os.path.join(d, "pheno.txt"), "--trait", "y"])
     assert rc == 2
+
+
+def test_fpr_lambda_crit_semantics(handles):
+    """λ_crit is the exact accept/reject threshold: scanning the SAME
+    permuted trait with λ just below λ_crit must select ≥1 marker, just
+    above must select none."""
+    geno, pheno, _, _ = handles
+    out = ee.fpr4am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                    numreps=1, seed=11)
+    lam_crit = float(out["lambda_crits"][0])
+    if lam_crit <= 0:
+        pytest.skip("permutation rejected even at lambda=0")
+    # reproduce the permutation fpr4am drew (same rng stream)
+    from eagleeverything_tpu.api.common import prepare_inputs
+    prep = prepare_inputs("y", geno, pheno, "age + sex", None)
+    y_perm = np.random.default_rng(11).permutation(prep.y)
+    cols = {"y": _reinsert(y_perm, prep), "age": pheno.columns["age"],
+            "sex": pheno.columns["sex"]}
+    r_low = ee.am(trait="y", geno=geno, pheno=cols, fformula="age + sex",
+                  maxit=1, lam=lam_crit * 0.98)
+    r_high = ee.am(trait="y", geno=geno, pheno=cols, fformula="age + sex",
+                   maxit=1, lam=lam_crit * 1.02)
+    assert len(r_low.indices) >= 1
+    assert len(r_high.indices) == 0
+
+
+def _reinsert(y_kept, prep):
+    """Scatter kept-record values back to full record order (no NA in the
+    fixture, so this is the identity)."""
+    assert len(prep.keep) == len(y_kept)
+    out = np.empty(len(prep.keep))
+    out[:] = y_kept
+    return out
+
+
+def test_cli_profile_flag(data_dir, tmp_path):
+    """--profile writes a jax.profiler trace directory (works on CPU too)."""
+    from eagleeverything_tpu.cli import main
+    d, _ = data_dir
+    prof = str(tmp_path / "trace")
+    rc = main(["am", "--geno", os.path.join(d, "geno.txt"),
+               "--pheno", os.path.join(d, "pheno.txt"),
+               "--trait", "y", "--maxit", "1", "--fixit",
+               "--profile", prof])
+    assert rc == 0
+    assert os.path.isdir(prof)
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found += files
+    assert found, "no trace files written"
