@@ -42,7 +42,13 @@ def main() -> None:
                     help="sweep: resident-tile scan kernel (default); "
                          "cohort: out-of-core packed-store streaming scan "
                          "(BASELINE config 3 scaled)")
+    ap.add_argument("--watchdog", type=int, default=480,
+                    help="seconds before a stack dump + exit(1) — guards "
+                         "against a wedged device hanging the harness")
     args = ap.parse_args()
+    if args.watchdog > 0:
+        import faulthandler
+        faulthandler.dump_traceback_later(args.watchdog, exit=True)
     if args.quick:
         args.n, args.p, args.reps = 256, 8192, 2
     if args.config == "cohort":
