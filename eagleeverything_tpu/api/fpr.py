@@ -65,32 +65,33 @@ def fpr4am(
     # (FaST-LMM basis) — every per-permutation REML fit is then O(n·q²)
     d_eig, U = engine_jax._eigh_kernel(K_eff, config)
     Xs0 = U.T @ X0
+    backend.set_eigenbasis(U if Z is None else Z.T @ U)
+    q0 = Xs0.shape[1]
 
     rng = np.random.default_rng(seed)
     log_choose_p1 = math.log(p)
     lam_crits = np.empty(numreps)
 
     # permutations are batched through the device sweep (SURVEY.md §4.3:
-    # "batch permutations as a leading axis"); chunk size bounds the
-    # (B, n, n) projector-factor stack and the (B, tile, n) intermediates
-    chunk = perm_batch or max(1, min(numreps, int(2e8 / max(n * n, 1))))
+    # "batch permutations as a leading axis"); per-permutation device
+    # state is O(n·q), so the batch can be large
+    chunk = perm_batch or max(1, min(numreps, int(5e8 / max(n * q0, 1))))
     for c0 in range(0, numreps, chunk):
         B = min(chunk, numreps - c0)
         y_perms = np.stack([rng.permutation(y) for _ in range(B)])
         fits0 = []
         ystars = np.empty((B, n))
-        Lps = np.empty((B, src.n if Z is not None else n, n))
-        Pys = np.empty((B, src.n if Z is not None else n))
+        s_all = np.empty((B, n))
+        Q_all = np.empty((B, n, q0))
+        z3_all = np.empty((B, n))
         for b in range(B):
             ystars[b] = U.T @ y_perms[b]
             fit0 = reml_core.reml_maximize_diag(d_eig, ystars[b], Xs0)
             fits0.append(fit0)
-            M = engine_jax._projector_factor_diag(U, d_eig, Xs0, fit0.delta)
-            Py = M @ (M.T @ y_perms[b])
-            Lps[b] = Z.T @ M if Z is not None else M
-            Pys[b] = Z.T @ Py if Z is not None else Py
-        t_all = backend.sweep_batched(
-            Lps, Pys, np.array([f.sigma2_g for f in fits0])
+            s_all[b], Q_all[b], z3_all[b] = engine_jax._eig_iteration_state(
+                d_eig, ystars[b], Xs0, fit0.delta, q0)
+        t_all = backend.sweep_eig_batched(
+            s_all, Q_all, z3_all, np.array([f.sigma2_g for f in fits0])
         )
         for b in range(B):
             r = c0 + b

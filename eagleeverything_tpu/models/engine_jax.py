@@ -296,6 +296,47 @@ class TiledScan:
             out[j0 : j0 + b] = np.asarray(self._score(w, Lp_d, Py_d, s2g))[:b]
         return out
 
+    # ---- eigenbasis sweep: U device-resident, no per-iteration n² host work
+    def set_eigenbasis(self, U_eff: np.ndarray) -> None:
+        """Place the (possibly Zᵀ-projected) eigenbasis on device once per
+        scan; subsequent sweeps take only O(n·q) per-iteration inputs."""
+        self._U_dev = jnp.asarray(U_eff, dtype=jnp.float32)
+
+    def sweep_eig(self, s: np.ndarray, Q: np.ndarray, z3: np.ndarray,
+                  sigma2_g: float) -> np.ndarray:
+        """Eigenbasis score sweep (kernels.score_tile_eig): s, Q, z3 are
+        the host-f64 per-iteration state; P̃y = U_eff·z3 is formed on
+        device."""
+        s_d = jnp.asarray(s, jnp.float32)
+        Q_d = jnp.asarray(Q, jnp.float32)
+        Py_d = jnp.dot(self._U_dev, jnp.asarray(z3, jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s2g = jnp.float32(sigma2_g)
+        out = np.empty(self.src.p)
+        for j0, b, w in self._device_tiles():
+            out[j0 : j0 + b] = np.asarray(
+                kernels.score_tile_eig(w, self._U_dev, s_d, Q_d, Py_d, s2g)
+            )[:b]
+        return out
+
+    def sweep_eig_batched(self, s: np.ndarray, Q: np.ndarray,
+                          z3: np.ndarray, sigma2_g: np.ndarray) -> np.ndarray:
+        """Batched eigenbasis sweep: s (R,n), Q (R,n,q), z3 (R,n) → (R,p).
+        Per-batch state is O(R·n·q) — the T = Wt·U GEMM is shared."""
+        s_d = jnp.asarray(s, jnp.float32)
+        Q_d = jnp.asarray(Q, jnp.float32)
+        Py_d = jnp.dot(jnp.asarray(z3, jnp.float32), self._U_dev.T,
+                       preferred_element_type=jnp.float32)
+        s2g = jnp.asarray(sigma2_g, jnp.float32)
+        R = s_d.shape[0]
+        out = np.empty((R, self.src.p))
+        for j0, b, w in self._device_tiles():
+            out[:, j0 : j0 + b] = np.asarray(
+                kernels.score_tile_eig_batched(
+                    w, self._U_dev, s_d, Q_d, Py_d, s2g)
+            )[:, :b]
+        return out
+
     def kernel_matvec(self, V: np.ndarray) -> np.ndarray:
         """Raw-kernel matvec MMt·V (V (n, r)) via streamed tiles — K is
         never materialized (biobank n; docs/design_biobank_scale.md)."""
@@ -503,6 +544,12 @@ def forward_select(
     d_eig = np.maximum(d_eig, 0.0)
     y_star = U_eig.T @ y
     Xs = U_eig.T @ X
+    if not sharded:
+        # device-resident eigenbasis: the sweep runs entirely in K's
+        # eigenbasis (kernels.score_tile_eig) — per-iteration traffic and
+        # host work drop from O(n²) to O(n·q)
+        backend.set_eigenbasis(U_eig if Z is None else Z.T @ U_eig)
+    qmax = -(-(X0.shape[1] + maxit + 1) // 8) * 8
 
     fit = reml_core.reml_maximize_diag(d_eig, y_star, Xs)
     best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
@@ -513,23 +560,20 @@ def forward_select(
               f"k={len(selected)}")
 
     for it in range(len(selected), maxit):
-        # host-f64 projector factor in the eigenbasis:
-        # P̃ = M·Mᵀ with M = U·S·(I − QQᵀ), S = diag((d+δ)^(-1/2)),
-        # Q = qr(S·X*) — an O(n²·q) rank-q update, no Cholesky/eigh
-        M = _projector_factor_diag(U_eig, d_eig, Xs, fit.delta)
-        Py = M @ (M.T @ y)
-        if Z is not None:
-            Lp_g = Z.T @ M       # (ZᵀM)(ZᵀM)ᵀ = Zᵀ·P̃·Z
-            Py_g = Z.T @ Py
-        else:
-            Lp_g, Py_g = M, Py
-
         with Phase(logger, "sweep", items=p):
             if sharded:
+                # explicit-collective path: projector factor in the
+                # eigenbasis (O(n²·q) rank-q update), shard_map sweep
+                M = _projector_factor_diag(U_eig, d_eig, Xs, fit.delta)
+                Py = M @ (M.T @ y)
+                Lp_g = Z.T @ M if Z is not None else M
+                Py_g = Z.T @ Py if Z is not None else Py
                 t, cand, _ = backend.sweep(Lp_g, Py_g, fit.sigma2_g,
                                            exclude=selected)
             else:
-                t = backend.sweep(Lp_g, Py_g, fit.sigma2_g)
+                s_vec, Qp, z3 = _eig_iteration_state(
+                    d_eig, y_star, Xs, fit.delta, qmax)
+                t = backend.sweep_eig(s_vec, Qp, z3, fit.sigma2_g)
                 t[selected] = 0.0
                 cand = int(np.argmax(t))
         outlier_stats.append(t.astype(np.float64))
@@ -614,6 +658,8 @@ def forward_select_multi(
         d_eig, U_eig = _eigh_kernel(K, config)
     ystars = ys @ U_eig          # (T, n): row t is Uᵀ·y_t
     Xs0 = U_eig.T @ X0
+    backend.set_eigenbasis(U_eig)
+    qmax = -(-(X0.shape[1] + maxit + 1) // 8) * 8
 
     class _TraitState:
         def __init__(self, t):
@@ -637,15 +683,16 @@ def forward_select_multi(
         if not active:
             break
         B = len(active)
-        Lps = np.empty((B, n, n))
-        Pys = np.empty((B, n))
-        for b, s in enumerate(active):
-            M = _projector_factor_diag(U_eig, d_eig, s.Xs, s.fit.delta)
-            Lps[b] = M
-            Pys[b] = M @ (M.T @ ys[s.t])
+        s_all = np.empty((B, n))
+        Q_all = np.empty((B, n, qmax))
+        z3_all = np.empty((B, n))
+        for b, st in enumerate(active):
+            s_all[b], Q_all[b], z3_all[b] = _eig_iteration_state(
+                d_eig, ystars[st.t], st.Xs, st.fit.delta, qmax)
         with Phase(logger, "sweep", items=p * B):
-            t_all = backend.sweep_batched(
-                Lps, Pys, np.array([s.fit.sigma2_g for s in active])
+            t_all = backend.sweep_eig_batched(
+                s_all, Q_all, z3_all,
+                np.array([st.fit.sigma2_g for st in active])
             )
         for b, s in enumerate(active):
             t_vec = t_all[b]
@@ -689,6 +736,31 @@ def _projector(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:
     HinvX = Hinv @ X
     XtHinvX = X.T @ HinvX
     return Hinv - HinvX @ np.linalg.solve(XtHinvX, HinvX.T)
+
+
+def _eig_iteration_state(
+    d: np.ndarray, y_star: np.ndarray, Xs: np.ndarray, delta: float,
+    qmax: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-iteration host state for the eigenbasis sweep: s = (d+δ)^(-1/2),
+    Q = orth basis of S·X* (zero-padded to qmax columns so the jitted
+    sweep keeps one shape for the whole scan — zero columns leave QQᵀ
+    unchanged), and z3 with P̃y = U·z3:
+      z3 = s ∘ [(I−QQᵀ)(s ∘ y*)].
+    All O(n·q) — the only n² object is the device-resident U."""
+    s = 1.0 / np.sqrt(d + delta)
+    Xr, _ = reml_core.independent_cols(np.asarray(Xs, np.float64))
+    V = Xr * s[:, None]
+    Q, _ = np.linalg.qr(V)
+    z1 = s * y_star
+    z2 = z1 - Q @ (Q.T @ z1)
+    z3 = s * z2
+    if Q.shape[1] < qmax:
+        Q = np.concatenate(
+            [Q, np.zeros((Q.shape[0], qmax - Q.shape[1]))], axis=1)
+    elif Q.shape[1] > qmax:
+        raise ValueError(f"q={Q.shape[1]} exceeds qmax={qmax}")
+    return s, Q, z3
 
 
 def _projector_factor_diag(

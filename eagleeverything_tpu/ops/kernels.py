@@ -132,6 +132,55 @@ def score_tile_sqrt_bf16(
 
 
 @jax.jit
+def score_tile_eig(
+    Wt: jax.Array, U: jax.Array, s: jax.Array, Q: jax.Array,
+    Py: jax.Array, sigma2_g: jax.Array,
+) -> jax.Array:
+    """Score sweep in the kernel eigenbasis — P̃ is NEVER materialized.
+
+    With K = U·diag(d)·Uᵀ, S = diag(s) = diag((d+δ)^(-1/2)) and Q the
+    orthonormal basis of S·UᵀX:  P̃ = U·S·(I−QQᵀ)·S·Uᵀ, so per SNP tile
+
+      T = Wt·U,  B = (T∘s)·(I−QQᵀ),  vara = σ²_g·rowsum(B²)
+
+    Only U (n², device-resident for the whole scan) is large; the
+    per-iteration inputs are s (n,), Q (n,q), Py (n,) — no n×n projector
+    transfer or host GEMM per iteration. Same FLOP count as the factor
+    form (the Wt·U GEMM dominates), plus two rank-q corrections.
+    """
+    T = jnp.dot(Wt, U, preferred_element_type=jnp.float32)
+    Ts = T * s[None, :]
+    B = Ts - jnp.dot(jnp.dot(Ts, Q, preferred_element_type=jnp.float32),
+                     Q.T, preferred_element_type=jnp.float32)
+    vara = sigma2_g * jnp.sum(B * B, axis=1)
+    ahat = jnp.dot(Wt, Py, preferred_element_type=jnp.float32)
+    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+
+
+@jax.jit
+def score_tile_eig_batched(
+    Wt: jax.Array, U: jax.Array, s: jax.Array, Q: jax.Array,
+    Py: jax.Array, sigma2_g: jax.Array,
+) -> jax.Array:
+    """Batched eigenbasis sweep: s (R,n), Q (R,n,q), Py (R,n), σ²_g (R,)
+    against one tile → (R, b). The T = Wt·U GEMM is computed ONCE and
+    shared across the whole batch (the big win over batching projector
+    factors: per-permutation state is O(n·q), not O(n²))."""
+    T = jnp.dot(Wt, U, preferred_element_type=jnp.float32)
+
+    def one(s_r, Q_r, Py_r, s2g_r):
+        Ts = T * s_r[None, :]
+        B = Ts - jnp.dot(
+            jnp.dot(Ts, Q_r, preferred_element_type=jnp.float32),
+            Q_r.T, preferred_element_type=jnp.float32)
+        vara = s2g_r * jnp.sum(B * B, axis=1)
+        ahat = jnp.dot(Wt, Py_r, preferred_element_type=jnp.float32)
+        return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+
+    return jax.vmap(one)(s, Q, Py, sigma2_g)
+
+
+@jax.jit
 def kernel_matvec_tile(Wt: jax.Array, V: jax.Array) -> jax.Array:
     """Per-tile contribution to K·V without materializing K:
     Wtᵀ·(Wt·V) for a SNP-major tile Wt (b, n) and block V (n, r).
