@@ -64,14 +64,21 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # genotype tiles on device (SNP-major), recoded once like the engine
-    # does; the scorer is the engine's production kernel (sqrt-factor form)
+    # does; the scorer is the engine's production kernel — the eigenbasis
+    # sweep (U device-resident, rank-q projection; ops/kernels
+    # score_tile_eig), measured at a mid-scan q of 48
     g = rng.integers(0, 3, size=(p, n), dtype=np.int8)
     Wt = kernels.recode_impute_tile(jnp.asarray(g), compute_dtype=args.dtype)
-    Pm = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    qmax = 48
+    U = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    s_vec = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, qmax)))
+    Q = jnp.asarray(Q.astype(np.float32))
     Py = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     s2g = jnp.float32(1.0)
-    score = (kernels.score_tile_sqrt_bf16 if args.dtype == "bfloat16"
-             else kernels.score_tile_sqrt)
+
+    def score(Wt, U_, Py_, s2g_):
+        return kernels.score_tile_eig(Wt, U_, s_vec, Q, Py_, s2g_)
 
     # Timing: a jitted serialized loop (data dependence between iterations
     # prevents overlap/hoisting) plus a host fetch of the result — robust
@@ -80,15 +87,15 @@ def main() -> None:
     import functools
 
     @functools.partial(jax.jit, static_argnames="reps")
-    def sweep_loop(Wt, Pm, Py, s2g, reps):
+    def sweep_loop(Wt, U, Py, s2g, reps):
         def body(_, acc):
-            t = score(Wt, Pm, Py, s2g + 0.0 * acc)  # serializing dependency
+            t = score(Wt, U, Py, s2g + 0.0 * acc)  # serializing dependency
             return acc + t[0]
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    float(sweep_loop(Wt, Pm, Py, s2g, reps=args.reps))  # warm-up / compile
+    float(sweep_loop(Wt, U, Py, s2g, reps=args.reps))  # warm-up / compile
     start = time.perf_counter()
-    float(sweep_loop(Wt, Pm, Py, s2g, reps=args.reps))
+    float(sweep_loop(Wt, U, Py, s2g, reps=args.reps))
     total = time.perf_counter() - start
     dev_secs = total / args.reps
     snps_per_sec = p / dev_secs
@@ -97,7 +104,7 @@ def main() -> None:
     # (median of 3 reps — single-shot BLAS timings are noisy)
     p_cpu = min(p, 8192)
     Wc = (g[:p_cpu].astype(np.float32) - 1.0)
-    Pc = np.asarray(Pm, dtype=np.float32)
+    Pc = np.asarray(U, dtype=np.float32)  # same-shape n×n GEMM operand
     Pyc = np.asarray(Py, dtype=np.float32)
     cpu_times = []
     for _ in range(3):

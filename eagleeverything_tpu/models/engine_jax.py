@@ -415,7 +415,23 @@ class ShardedScan:
         K = collectives.mmt_psum(self.Wt, self.mesh)
         return np.asarray(jax.device_get(K), dtype=np.float64)
 
-    def sweep(self, Lp, Py, sigma2_g, exclude: Optional[list[int]] = None):
+    def set_eigenbasis(self, U_eff: np.ndarray) -> None:
+        self._U_dev = jnp.asarray(U_eff, dtype=jnp.float32)
+
+    def sweep_eig(self, s, Q, z3, sigma2_g,
+                  exclude: Optional[list[int]] = None):
+        """Eigenbasis sweep + collective argmax on the sharded Wt."""
+        mask_dev = self._mask(exclude)
+        Py_d = jnp.dot(self._U_dev, jnp.asarray(z3, jnp.float32),
+                       preferred_element_type=jnp.float32)
+        t, i_glob, m_glob = collectives.score_and_argmax_eig(
+            self.Wt, self._U_dev,
+            jnp.asarray(s, jnp.float32), jnp.asarray(Q, jnp.float32),
+            Py_d, sigma2_g, mask_dev, self.mesh,
+        )
+        return (np.asarray(t)[: self.src.p], int(i_glob), float(m_glob))
+
+    def _mask(self, exclude: Optional[list[int]]):
         mask = np.ones(self.p_pad, dtype=np.float32)
         mask[self.src.p :] = 0.0
         if exclude:
@@ -425,16 +441,17 @@ class ShardedScan:
         if jax.process_count() > 1:
             rows = self.p_pad // jax.process_count()
             r0 = jax.process_index() * rows
-            mask_dev = jax.make_array_from_process_local_data(
+            return jax.make_array_from_process_local_data(
                 mask_sharding, mask[r0 : r0 + rows], (self.p_pad,))
-        else:
-            mask_dev = jax.device_put(mask, mask_sharding)
+        return jax.device_put(mask, mask_sharding)
+
+    def sweep(self, Lp, Py, sigma2_g, exclude: Optional[list[int]] = None):
         t, i_glob, m_glob = collectives.score_and_argmax(
             self.Wt,
             jnp.asarray(Lp, jnp.float32),
             jnp.asarray(Py, jnp.float32),
             sigma2_g,
-            mask_dev,
+            self._mask(exclude),
             self.mesh,
         )
         return (np.asarray(t)[: self.src.p], int(i_glob), float(m_glob))
@@ -544,11 +561,11 @@ def forward_select(
     d_eig = np.maximum(d_eig, 0.0)
     y_star = U_eig.T @ y
     Xs = U_eig.T @ X
-    if not sharded:
-        # device-resident eigenbasis: the sweep runs entirely in K's
-        # eigenbasis (kernels.score_tile_eig) — per-iteration traffic and
-        # host work drop from O(n²) to O(n·q)
-        backend.set_eigenbasis(U_eig if Z is None else Z.T @ U_eig)
+    # device-resident eigenbasis: every sweep (tiled or sharded) runs in
+    # K's eigenbasis (kernels.score_tile_eig / collectives
+    # score_and_argmax_eig) — per-iteration traffic and host work drop
+    # from O(n²) to O(n·q)
+    backend.set_eigenbasis(U_eig if Z is None else Z.T @ U_eig)
     qmax = -(-(X0.shape[1] + maxit + 1) // 8) * 8
 
     fit = reml_core.reml_maximize_diag(d_eig, y_star, Xs)
@@ -561,18 +578,12 @@ def forward_select(
 
     for it in range(len(selected), maxit):
         with Phase(logger, "sweep", items=p):
+            s_vec, Qp, z3 = _eig_iteration_state(
+                d_eig, y_star, Xs, fit.delta, qmax)
             if sharded:
-                # explicit-collective path: projector factor in the
-                # eigenbasis (O(n²·q) rank-q update), shard_map sweep
-                M = _projector_factor_diag(U_eig, d_eig, Xs, fit.delta)
-                Py = M @ (M.T @ y)
-                Lp_g = Z.T @ M if Z is not None else M
-                Py_g = Z.T @ Py if Z is not None else Py
-                t, cand, _ = backend.sweep(Lp_g, Py_g, fit.sigma2_g,
-                                           exclude=selected)
+                t, cand, _ = backend.sweep_eig(s_vec, Qp, z3, fit.sigma2_g,
+                                               exclude=selected)
             else:
-                s_vec, Qp, z3 = _eig_iteration_state(
-                    d_eig, y_star, Xs, fit.delta, qmax)
                 t = backend.sweep_eig(s_vec, Qp, z3, fit.sigma2_g)
                 t[selected] = 0.0
                 cand = int(np.argmax(t))
@@ -729,14 +740,6 @@ def forward_select_multi(
     ]
 
 
-def _projector(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:
-    n = K.shape[0]
-    H = K + delta * np.eye(n)
-    Hinv = np.linalg.inv(H)
-    HinvX = Hinv @ X
-    XtHinvX = X.T @ HinvX
-    return Hinv - HinvX @ np.linalg.solve(XtHinvX, HinvX.T)
-
 
 def _eig_iteration_state(
     d: np.ndarray, y_star: np.ndarray, Xs: np.ndarray, delta: float,
@@ -763,41 +766,4 @@ def _eig_iteration_state(
     return s, Q, z3
 
 
-def _projector_factor_diag(
-    U: np.ndarray, d: np.ndarray, X_star: np.ndarray, delta: float
-) -> np.ndarray:
-    """Projector factor M (P̃ = M·Mᵀ) from the cached eigenbasis of K.
 
-    P̃ = H⁻¹ − H⁻¹X(XᵀH⁻¹X)⁻¹XᵀH⁻¹ with H = U·diag(d+δ)·Uᵀ:
-      S = diag((d+δ)^(-1/2)),  V = S·X*,  Q = qr(V)  →
-      P̃ = U·S·(I − QQᵀ)·S·Uᵀ = M·Mᵀ,  M = U·S − ((U·S)·Q)·Qᵀ.
-
-    Cost: one column scaling of U (O(n²)) plus two rank-q GEMMs (O(n²q))
-    — replaces the per-iteration Cholesky/eigh entirely.
-    """
-    X_star, _ = reml_core.independent_cols(np.asarray(X_star, np.float64))
-    s = 1.0 / np.sqrt(d + delta)
-    V = X_star * s[:, None]
-    Q, _ = np.linalg.qr(V)
-    US = U * s[None, :]
-    return US - (US @ Q) @ Q.T
-
-
-def _projector_factor(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:
-    """Host-f64 factor M with P̃ = M·Mᵀ, via Cholesky + thin QR.
-
-    With H = LₕLₕᵀ and V = Lₕ⁻¹X (thin QR → Q):
-      P̃ = H⁻¹ − H⁻¹X(XᵀH⁻¹X)⁻¹XᵀH⁻¹ = Lₕ⁻ᵀ(I − QQᵀ)Lₕ⁻¹ = M·Mᵀ,
-      M = Lₕ⁻ᵀ(I − QQᵀ)   (I − QQᵀ is an orthogonal projector).
-
-    ~3× cheaper than inverse+eigh and gives the device sweep its
-    square-root form (ops/kernels.score_tile_sqrt) for free.
-    """
-    from scipy import linalg as sla
-    n = K.shape[0]
-    H = K + delta * np.eye(n)
-    Lh = sla.cholesky(H, lower=True)
-    V = sla.solve_triangular(Lh, X, lower=True)
-    Q, _ = np.linalg.qr(V)
-    A = np.eye(n) - Q @ Q.T
-    return sla.solve_triangular(Lh, A, lower=True, trans="T")
