@@ -158,7 +158,7 @@ def bench_cohort(args) -> None:
         GenotypeStore.create_from_dense(tmp, geno, n_shards=1, packed=True)
         del geno
         src = engine_jax.StoreTileSource(tmp)
-        cfg = EagleConfig(availmem_gb=1e-6)  # forbid the device tile cache
+        cfg = EagleConfig(device_cache_gb=1e-6)  # forbid the device tile cache
         scan = engine_jax.TiledScan(src, cfg)
         Lp = rng.standard_normal((n, n)).astype(np.float32)
         Py = rng.standard_normal(n).astype(np.float32)

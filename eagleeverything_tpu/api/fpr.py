@@ -55,11 +55,12 @@ def fpr4am(
     src = engine_jax._make_source(prep.handle, prep.keep_individuals)
     backend = engine_jax.TiledScan(src, config)
     p = src.p
+    if p < 2:
+        raise ValueError(
+            f"FPR calibration needs at least 2 SNPs (got p={p}): the "
+            "extBIC penalty difference log C(p,1) is zero at p=1")
 
-    K_raw = backend.compute_K()
-    s0 = float(np.mean(np.diag(K_raw)))
-    K = K_raw / (s0 if s0 > 0 else 1.0)
-    K_eff = Z @ K @ Z.T if Z is not None else K
+    K_eff = engine_jax.normalized_kernel(backend.compute_K(), Z)
 
     # shared across ALL permutations: one eigendecomposition of the kernel
     # (FaST-LMM basis) — every per-permutation REML fit is then O(n·q²)

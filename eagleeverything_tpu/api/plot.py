@@ -37,13 +37,23 @@ def plot_am(
       type: "manhattan" (t_j by position) or "trace" (extBIC trajectory).
     Returns the matplotlib Figure.
     """
-    import matplotlib
-    if save is not None and not show:
-        matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    if show:
+        # interactive path only: pyplot picks a GUI backend
+        import matplotlib.pyplot as plt
+
+        def _make_fig(figsize):
+            return plt.subplots(figsize=figsize)
+    else:
+        # backend-free, thread-safe, leak-free: no pyplot registration —
+        # safe from server threads (the GUI renders plots per request)
+        from matplotlib.figure import Figure
+
+        def _make_fig(figsize):
+            fig = Figure(figsize=figsize)
+            return fig, fig.subplots()
 
     if type == "trace":
-        fig, ax = plt.subplots(figsize=(6, 4))
+        fig, ax = _make_fig((6, 4))
         ax.plot(range(len(res.extbic_path)), res.extbic_path, "o-")
         ax.set_xlabel("iteration (markers in model)")
         ax.set_ylabel("extBIC")
@@ -63,7 +73,7 @@ def plot_am(
             it = itnum
             t = np.asarray(res.outlier_stats[it])
         p = t.shape[0]
-        fig, ax = plt.subplots(figsize=(10, 4))
+        fig, ax = _make_fig((10, 4))
         if map is not None:
             chroms = np.asarray(map.chrom)
             uniq = list(dict.fromkeys(chroms.tolist()))  # stable order

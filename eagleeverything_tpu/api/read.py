@@ -124,7 +124,10 @@ def read_marker(
                 source=filename,
             )
         elif type_l == "vcf":
-            # stream VCF SNP-major straight into the store (no transpose)
+            # stream VCF SNP-major straight into the store (no transpose,
+            # no whole-file materialization): a cheap first pass counts
+            # samples/records for the shard plan, the second pass streams
+            n, p_count = parsers.vcf_dims(filename)
             names, chrom, pos = [], [], []
 
             def vcf_blocks():
@@ -136,10 +139,8 @@ def read_marker(
                     yield off, g.T
                     off += g.shape[1]
 
-            blocks = list(vcf_blocks())
-            n = blocks[0][1].shape[1] if blocks else 0
             store = GenotypeStore.create_from_snp_blocks(
-                store_dir, iter(blocks), n=n, p=len(names),
+                store_dir, vcf_blocks(), n=n, p=p_count,
                 n_shards=n_shards, packed=packed, source=filename,
             )
         else:

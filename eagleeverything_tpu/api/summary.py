@@ -17,7 +17,7 @@ from scipy import stats as _stats
 from eagleeverything_tpu.api.common import prepare_inputs
 from eagleeverything_tpu.api.read import GenoHandle, PhenoHandle
 from eagleeverything_tpu.models import engine_jax, reml_core
-from eagleeverything_tpu.models.oracle import AMResult, WaldSummary
+from eagleeverything_tpu.models.oracle import AMResult, WaldSummary, gls_wald_stats
 from eagleeverything_tpu.utils.config import DEFAULT_CONFIG, EagleConfig
 
 
@@ -37,42 +37,19 @@ def summary_am(
 
     src = engine_jax._make_source(prep.handle, prep.keep_individuals)
     backend = engine_jax.TiledScan(src, config)
-    K_raw = backend.compute_K()
-    s0 = float(np.mean(np.diag(K_raw)))
-    K = K_raw / (s0 if s0 > 0 else 1.0)
+    K = engine_jax.normalized_kernel(backend.compute_K(), Z)
 
     idx = list(res.indices)
     Wcols = np.column_stack(
         [engine_jax._impute_column_f64(src.column(j)) for j in idx]
     ) if idx else np.zeros((src.n, 0))
     if Z is not None:
-        K = Z @ K @ Z.T
         Wcols = Z @ Wcols
 
-    X = np.hstack([X0, Wcols])
-    lam_s, eta2_s, _ = reml_core.spectral_inputs(y, X, K)
+    lam_s, eta2_s, _ = reml_core.spectral_inputs(
+        y, np.hstack([X0, Wcols]), K)
     fit = reml_core.reml_maximize(lam_s, eta2_s)
-
-    n = y.shape[0]
-    V = fit.sigma2_g * K + fit.sigma2_e * np.eye(n)
-    Vinv = np.linalg.inv(V)
-    XtVinvX = X.T @ Vinv @ X
-    cov = np.linalg.inv(XtVinvX)
-    beta = cov @ (X.T @ (Vinv @ y))
-    q0 = X0.shape[1]
-    b = beta[q0:]
-    se = np.sqrt(np.diag(cov)[q0:])
-    wald = (b / se) ** 2
-    pval = _stats.chi2.sf(wald, df=1)
-    vary = float(np.var(y))
-    varexp = np.array(
-        [float(b[i] ** 2 * np.var(Wcols[:, i])) / vary if vary > 0 else 0.0
-         for i in range(len(idx))]
-    )
-    out = WaldSummary(
-        indices=idx, beta=b, se=se, wald=wald, pvalue=pval,
-        var_explained=varexp, sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e,
-    )
+    out = gls_wald_stats(y, X0, Wcols, K, idx, fit)
     if not quiet:
         _print_summary(out, res)
     return out

@@ -98,11 +98,17 @@ int64_t recode_spaced_line(const char* s, const char* e, const Codes& c,
   return j;
 }
 
+constexpr int8_t kInvalid = -128;
+
 void build_char_lut(const Codes& c, int8_t lut[256]) {
-  for (int i = 0; i < 256; ++i) lut[i] = kMissing;
+  // unknown characters are ERRORS, matching the spaced-token path —
+  // silent missing-coercion would bias the kernel with no diagnostic
+  for (int i = 0; i < 256; ++i) lut[i] = kInvalid;
   lut[static_cast<unsigned char>(c.aa[0])] = 0;
   lut[static_cast<unsigned char>(c.ab[0])] = 1;
   lut[static_cast<unsigned char>(c.bb[0])] = 2;
+  if (c.miss.size() == 1)
+    lut[static_cast<unsigned char>(c.miss[0])] = kMissing;
 }
 
 int hw_threads() {
@@ -152,8 +158,11 @@ int recode_rows(const Stream* st, size_t row0, int64_t rows, int8_t* out) {
         int8_t* dst = out + r * st->p;
         if (st->nospace) {
           if (e - s != st->p) { errs[t] = r + 1; return; }
-          for (int64_t j = 0; j < st->p; ++j)
-            dst[j] = lut[static_cast<unsigned char>(s[j])];
+          for (int64_t j = 0; j < st->p; ++j) {
+            const int8_t v = lut[static_cast<unsigned char>(s[j])];
+            if (v == kInvalid) { errs[t] = r + 1; return; }
+            dst[j] = v;
+          }
         } else {
           if (recode_spaced_line(s, e, st->codes, dst, st->p) != st->p) {
             errs[t] = r + 1; return;

@@ -94,6 +94,15 @@ def _decode_ascii_block(
         out[arr == codes[0]] = 0
         out[arr == codes[1]] = 1
         out[arr == codes[2]] = 2
+        # unknown characters are errors, like the spaced-token path
+        known = (arr == codes[0]) | (arr == codes[1]) | (arr == codes[2])
+        if len(missing) == 1:
+            known |= arr == ord(missing)
+        if not known.all():
+            bad = arr[~known][:5]
+            raise ValueError(
+                f"unrecognized genotype characters "
+                f"{[chr(b) for b in bad]} in no-space file")
         return out
     tokens = np.array([ln.split() for ln in lines], dtype=object)
     return _recode_tokens(tokens.astype(str), AA, AB, BB, missing)
@@ -248,6 +257,22 @@ def read_plink_bim(bed_path: str):
             names.append(parts[1])
             poss.append(int(parts[3]))
     return names, chroms, poss
+
+
+def vcf_dims(path: str) -> tuple[int, int]:
+    """(n_samples, n_variants) from a cheap line scan (no GT decoding)."""
+    n = p = 0
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("##") or not line.strip():
+                continue
+            if line.startswith("#CHROM"):
+                n = len(line.rstrip("\n").split("\t")) - 9
+                continue
+            p += 1
+    if n <= 0:
+        raise ValueError(f"no #CHROM sample header in VCF: {path}")
+    return n, p
 
 
 def iter_vcf_blocks(path: str, block_snps: int = 4096):

@@ -174,6 +174,7 @@ def reml_loglik_matfree(
     ctx: MatfreeContext, delta: float, y: np.ndarray, X: np.ndarray,
 ) -> tuple[float, float]:
     """(LL(δ), yᵀP̃y) with the EMMA constant convention (reml_core)."""
+    X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     n, q = X.shape[0], X.shape[1]
     nq = n - q
     mv = ctx.h_matvec(delta)
@@ -258,6 +259,7 @@ def score_sweep_matfree(
     invariant to any uniform rescaling of w_j (it cancels between â² and
     σ²_g·vara, see models/oracle.py), so no column scaling is needed.
     """
+    X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     n, q = X.shape
     mv = ctx.h_matvec(fit.delta)
 

@@ -136,6 +136,16 @@ def _make_source(handle: GenoHandle, keep: Optional[np.ndarray]) -> TileSource:
     raise ValueError("GenoHandle has neither in-memory genotypes nor a store")
 
 
+def normalized_kernel(
+    K_raw: np.ndarray, Z: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Mean-diagonal normalization of the raw MMt (+ Zᵀ record-level
+    transform) — the shared prologue of every scan-level entry point."""
+    s0 = float(np.mean(np.diag(K_raw)))
+    K = K_raw / (s0 if s0 > 0 else 1.0)
+    return Z @ K @ Z.T if Z is not None else K
+
+
 def _eigh_kernel(K: np.ndarray, config: EagleConfig) -> tuple[np.ndarray, np.ndarray]:
     """Eigendecomposition of the (normalized) kernel: host f64 LAPACK for
     n ≤ host_eigh_max_n, device f32 ``jnp.linalg.eigh`` above it — the
@@ -190,7 +200,9 @@ class TiledScan:
             src.n, meshlib.pad_to_multiple(src.p, 128))
         itemsize = 2 if config.compute_dtype == "bfloat16" else 4
         cache_bytes = src.p * src.n * itemsize
-        self.cache_device = cache_bytes <= config.availmem_gb * 1e9 * 0.5
+        # cached W tiles live in device HBM — budgeted by device_cache_gb,
+        # NOT the host-RAM availmem knob
+        self.cache_device = cache_bytes <= config.device_cache_gb * 1e9 * 0.5
         # multi-device: place each streamed tile SNP-sharded over the mesh;
         # jit propagates the sharding through recode/MMt/score and inserts
         # the psum for the MMt contraction (GSPMD) — the streamed analog of
@@ -501,7 +513,9 @@ def forward_select(
     K_raw = None
     mmt_key = None
     if ckpt_dir is not None:
-        mmt_key = ckpt.mmt_cache_key(handle.source, src.n, src.p, keep_records)
+        mmt_key = ckpt.mmt_cache_key(
+            handle.source, src.n, src.p, keep_records,
+            content_token=ckpt.genotype_content_token(handle))
         K_raw = ckpt.load_mmt(ckpt_dir, mmt_key)
         if K_raw is not None and K_raw.shape != (src.n, src.n):
             K_raw = None
@@ -510,14 +524,9 @@ def forward_select(
             K_raw = backend.compute_K()
         if ckpt_dir is not None:
             ckpt.save_mmt(ckpt_dir, mmt_key, K_raw)
-    s0 = float(np.mean(np.diag(K_raw)))
-    K = K_raw / (s0 if s0 > 0 else 1.0)
-    if Z is not None:
-        K_eff = Z @ K @ Z.T
-    else:
-        K_eff = K
-        if n != src.n:
-            raise ValueError(f"trait has {n} records but {src.n} genotyped individuals")
+    if Z is None and n != src.n:
+        raise ValueError(f"trait has {n} records but {src.n} genotyped individuals")
+    K_eff = normalized_kernel(K_raw, Z)
 
     selected: list[int] = []
     extbic_path: list[float] = []
@@ -528,6 +537,15 @@ def forward_select(
     if resume and ckpt_dir is not None:
         state = ckpt.load_scan_state(ckpt_dir)
         if state is not None:
+            meta = state.get("meta", {})
+            expect = {"trait_n": n, "p": p, "lam_ebic": lam_ebic}
+            mismatch = {k: (meta.get(k), v) for k, v in expect.items()
+                        if meta.get(k) != v}
+            if mismatch:
+                raise ValueError(
+                    f"refusing to resume: checkpoint in {ckpt_dir} was "
+                    f"written for different inputs {mismatch} "
+                    "(saved vs current)")
             selected = [int(j) for j in state["selected"]]
             for j in selected:
                 w_col = _impute_column_f64(src.column(j))
@@ -660,10 +678,9 @@ def forward_select_multi(
     backend = TiledScan(src, config)
     with Phase(logger, "mmt", items=p):
         K_raw = backend.compute_K()
-    s0 = float(np.mean(np.diag(K_raw)))
-    K = K_raw / (s0 if s0 > 0 else 1.0)
     if n != src.n:
         raise ValueError(f"traits have {n} records but {src.n} individuals")
+    K = normalized_kernel(K_raw)
 
     with Phase(logger, "eigh", items=n):
         d_eig, U_eig = _eigh_kernel(K, config)

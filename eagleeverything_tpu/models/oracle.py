@@ -228,6 +228,45 @@ class WaldSummary:
     sigma2_e: float
 
 
+def gls_wald_stats(
+    y: np.ndarray,
+    X0: np.ndarray,
+    Wcols: np.ndarray,
+    K: np.ndarray,
+    indices: Sequence[int],
+    fit: "reml_core.RemlResult",
+) -> WaldSummary:
+    """GLS estimates + Wald tests for the selected-marker fixed effects.
+
+    Shared by the dense oracle and the engine-backed ``summary_am``:
+    β̂ = (XᵀV⁻¹X)⁻¹XᵀV⁻¹y with V = σ²_g·K + σ²_e·I; per marker the Wald
+    statistic β̂²/var(β̂) ~ χ²₁ and a variance-explained share
+    β̂²·var(w_j)/var(y).
+    """
+    idx = list(indices)
+    X = np.hstack([X0, Wcols])
+    n = y.shape[0]
+    V = fit.sigma2_g * K + fit.sigma2_e * np.eye(n)
+    Vinv = np.linalg.inv(V)
+    XtVinvX = X.T @ Vinv @ X
+    cov = np.linalg.inv(XtVinvX)
+    beta = cov @ (X.T @ (Vinv @ y))
+    q0 = X0.shape[1]
+    b = beta[q0:]
+    se = np.sqrt(np.diag(cov)[q0:])
+    wald = (b / se) ** 2
+    pval = _stats.chi2.sf(wald, df=1)
+    vary = float(np.var(y))
+    varexp = np.array(
+        [float(b[i] ** 2 * np.var(Wcols[:, i])) / vary if vary > 0 else 0.0
+         for i in range(len(idx))]
+    )
+    return WaldSummary(
+        indices=idx, beta=b, se=se, wald=wald, pvalue=pval,
+        var_explained=varexp, sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e,
+    )
+
+
 def wald_summary(
     y: np.ndarray,
     X0: np.ndarray,
@@ -245,26 +284,6 @@ def wald_summary(
         K = Z @ K @ Z.T
         W = Z @ W
     idx = list(indices)
-    Xm = W[:, idx] if idx else np.zeros((y.shape[0], 0))
-    X = np.hstack([X0, Xm])
-    fit = fit_reml(y, X, K)
-    n = y.shape[0]
-    V = fit.sigma2_g * K + fit.sigma2_e * np.eye(n)
-    Vinv = np.linalg.inv(V)
-    XtVinvX = X.T @ Vinv @ X
-    cov = np.linalg.inv(XtVinvX)
-    beta = cov @ (X.T @ (Vinv @ y))
-    q0 = X0.shape[1]
-    b = beta[q0:]
-    se = np.sqrt(np.diag(cov)[q0:])
-    wald = (b / se) ** 2
-    pval = _stats.chi2.sf(wald, df=1)
-    vary = float(np.var(y))
-    varexp = np.array(
-        [float(b[i] ** 2 * np.var(W[:, idx[i]])) / vary if vary > 0 else 0.0
-         for i in range(len(idx))]
-    )
-    return WaldSummary(
-        indices=idx, beta=b, se=se, wald=wald, pvalue=pval,
-        var_explained=varexp, sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e,
-    )
+    Wcols = W[:, idx] if idx else np.zeros((y.shape[0], 0))
+    fit = fit_reml(y, np.hstack([X0, Wcols]), K)
+    return gls_wald_stats(y, X0, Wcols, K, idx, fit)

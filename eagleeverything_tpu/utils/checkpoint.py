@@ -69,12 +69,46 @@ def clear_scan_state(ckpt_dir: str) -> None:
 
 
 def mmt_cache_key(source: str, n: int, p: int,
-                  keep: Optional[np.ndarray]) -> str:
+                  keep: Optional[np.ndarray],
+                  content_token: str = "") -> str:
     h = hashlib.sha256()
-    h.update(f"{source}|{n}|{p}".encode())
+    h.update(f"{source}|{n}|{p}|{content_token}".encode())
     if keep is not None:
         h.update(np.ascontiguousarray(keep).tobytes())
     return h.hexdigest()[:24]
+
+
+def genotype_content_token(handle) -> str:
+    """Cheap content fingerprint of a genotype handle, so the MMt cache
+    cannot serve a kernel computed from different data that happens to
+    share a source label and shape.
+
+    - in-memory arrays: full sha256 up to 64 MB, else a strided 1 MB
+      sample plus the exact byte count;
+    - store-backed: manifest bytes + per-shard (size, mtime).
+    """
+    h = hashlib.sha256()
+    if getattr(handle, "geno", None) is not None:
+        arr = np.ascontiguousarray(handle.geno, dtype=np.int8)
+        buf = arr.reshape(-1).view(np.uint8)
+        if buf.nbytes <= 64_000_000:
+            h.update(buf.tobytes())
+        else:
+            stride = max(1, buf.nbytes // 1_000_000)
+            h.update(buf[::stride].tobytes())
+            h.update(str(buf.nbytes).encode())
+    elif getattr(handle, "store_dir", None) is not None:
+        d = handle.store_dir
+        try:
+            with open(os.path.join(d, "manifest.json"), "rb") as f:
+                h.update(f.read())
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".bin"):
+                    st = os.stat(os.path.join(d, name))
+                    h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            return ""  # unreadable → no caching benefit, disable keying
+    return h.hexdigest()[:16]
 
 
 def save_mmt(ckpt_dir: str, key: str, K_raw: np.ndarray) -> None:

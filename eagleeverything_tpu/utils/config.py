@@ -34,8 +34,8 @@ class EagleConfig:
         dispatch latency at small n, small tiles bound HBM use at large n.
       availmem_gb: host-RAM budget per block for out-of-core streaming —
         the reference's ``availmemGb`` knob.
-      use_pallas: enable the fused Pallas score-sweep kernel where
-        applicable (TPU backend only; XLA fallback otherwise).
+      device_cache_gb: device-HBM budget for caching recoded W tiles
+        across iterations; data above it re-streams every sweep.
       host_eigh_max_n: use host float64 ``scipy`` eigendecomposition when
         n ≤ this threshold; above it, device float32 ``jnp.linalg.eigh``.
       seed: base PRNG seed for permutation tests.
@@ -46,7 +46,7 @@ class EagleConfig:
     decision_dtype: str = "float64"
     snp_tile: Optional[int] = None
     availmem_gb: float = 8.0
-    use_pallas: bool = True
+    device_cache_gb: float = 8.0
     host_eigh_max_n: int = 8192
     seed: int = 0
 

@@ -127,7 +127,7 @@ def test_bigscan_on_store(tmp_path):
     d = str(tmp_path / "bstore")
     GenotypeStore.create_from_dense(d, sim.geno, n_shards=2, packed=True)
     src = engine_jax.StoreTileSource(d)
-    backend = engine_jax.TiledScan(src, EagleConfig(availmem_gb=1e-6))
+    backend = engine_jax.TiledScan(src, EagleConfig(device_cache_gb=1e-6))
     exact = engine_jax.forward_select(
         sim.y, np.ones((90, 1)),
         GenoHandle(n=90, p=400, source="<b>", geno=sim.geno), maxit=3)
@@ -149,7 +149,7 @@ def test_packed_store_device_unpack_matches_dense(tmp_path):
     handle_d = GenoHandle(n=70, p=350, source="<d>", geno=sim.geno)
     X0 = np.ones((70, 1))
     from eagleeverything_tpu.utils.config import EagleConfig
-    cfg = EagleConfig(availmem_gb=1e-6)  # force streaming (no device cache)
+    cfg = EagleConfig(device_cache_gb=1e-6)  # force streaming (no device cache)
     r_p = engine_jax.forward_select(sim.y, X0, handle_p, maxit=3, config=cfg)
     r_d = engine_jax.forward_select(sim.y, X0, handle_d, maxit=3)
     assert r_p.indices == r_d.indices

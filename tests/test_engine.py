@@ -66,7 +66,7 @@ def test_store_engine_matches_oracle(sim, oracle_res, tmp_path):
     GenotypeStore.create_from_dense(d, sim.geno, n_shards=3)
     handle = GenoHandle(n=sim.geno.shape[0], p=sim.geno.shape[1],
                         source="<store>", store_dir=d)
-    cfg = EagleConfig(snp_tile=256, availmem_gb=1e-6)  # forbid device cache
+    cfg = EagleConfig(snp_tile=256, device_cache_gb=1e-6)  # forbid device cache
     res = engine_jax.forward_select(
         sim.y, _design(sim), handle, maxit=10, config=cfg
     )

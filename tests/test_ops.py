@@ -53,8 +53,10 @@ def test_checkpoint_resume_matches_fresh(sim, tmp_path):
 
 def test_mmt_cache_reused(sim, tmp_path):
     d = str(tmp_path / "ck2")
+    handle = _handle(sim)
     key = ckpt.mmt_cache_key("<ops-test>", sim.geno.shape[0],
-                             sim.geno.shape[1], None)
+                             sim.geno.shape[1], None,
+                             content_token=ckpt.genotype_content_token(handle))
     assert ckpt.load_mmt(d, key) is None
     engine_jax.forward_select(sim.y, _X0(sim), _handle(sim), maxit=1,
                               fixit=True, ckpt_dir=d)
@@ -70,6 +72,32 @@ def test_mmt_cache_reused(sim, tmp_path):
                                      fixit=True)
     # poisoned-K run differs from clean run in delta (cache demonstrably used)
     assert res2.delta != pytest.approx(res1.delta, rel=1e-6)
+
+
+def test_mmt_cache_not_served_for_different_data(sim, tmp_path):
+    """Content keying: same source label + shape but different genotypes
+    must NOT reuse the cached kernel."""
+    d = str(tmp_path / "ck3")
+    engine_jax.forward_select(sim.y, _X0(sim), _handle(sim), maxit=1,
+                              fixit=True, ckpt_dir=d)
+    rng = np.random.default_rng(123)
+    other = rng.integers(0, 3, size=sim.geno.shape).astype(np.int8)
+    other_handle = GenoHandle(n=other.shape[0], p=other.shape[1],
+                              source="<ops-test>", geno=other)
+    res_ck = engine_jax.forward_select(sim.y, _X0(sim), other_handle,
+                                       maxit=1, fixit=True, ckpt_dir=d)
+    res_fresh = engine_jax.forward_select(sim.y, _X0(sim), other_handle,
+                                          maxit=1, fixit=True)
+    assert res_ck.delta == pytest.approx(res_fresh.delta, rel=1e-9)
+
+
+def test_resume_refuses_mismatched_checkpoint(sim, tmp_path):
+    d = str(tmp_path / "ck4")
+    engine_jax.forward_select(sim.y, _X0(sim), _handle(sim), maxit=1,
+                              fixit=True, ckpt_dir=d)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        engine_jax.forward_select(sim.y, _X0(sim), _handle(sim), maxit=3,
+                                  lam_ebic=2.5, ckpt_dir=d, resume=True)
 
 
 def test_structured_log(sim, tmp_path):
