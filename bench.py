@@ -47,8 +47,27 @@ def main() -> None:
                          "against a wedged device hanging the harness")
     args = ap.parse_args()
     if args.watchdog > 0:
+        # plain Timer + os._exit: faulthandler.dump_traceback_later can be
+        # neutralized by runtime libraries (observed: never fired while the
+        # device relay was wedged), a daemon Timer thread cannot
         import faulthandler
-        faulthandler.dump_traceback_later(args.watchdog, exit=True)
+        import os as _os
+        import sys as _sys
+        import threading as _threading
+
+        def _watchdog_fire():
+            print(json.dumps({
+                "metric": "snps_scored_per_sec_per_chip", "value": 0.0,
+                "unit": "SNPs/s", "vs_baseline": None,
+                "detail": {"error": f"watchdog: no result within "
+                                    f"{args.watchdog}s (device wedged?)"},
+            }), flush=True)
+            faulthandler.dump_traceback(file=_sys.stderr)
+            _os._exit(1)
+
+        _t = _threading.Timer(args.watchdog, _watchdog_fire)
+        _t.daemon = True
+        _t.start()
     if args.quick:
         args.n, args.p, args.reps = 256, 8192, 2
     if args.config == "cohort":
