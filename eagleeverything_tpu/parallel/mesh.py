@@ -27,6 +27,10 @@ def make_mesh(
     — all devices on the SNP axis."""
     if devices is None:
         devices = jax.devices()
+    if mesh_shape is not None:
+        need = mesh_shape[0] * mesh_shape[1]
+        if need <= len(devices):
+            devices = devices[:need]  # explicit smaller mesh: use a subset
     n_dev = len(devices)
     if mesh_shape is None:
         mesh_shape = (1, n_dev)

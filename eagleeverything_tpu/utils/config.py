@@ -24,10 +24,10 @@ class EagleConfig:
       compute_dtype: dtype for the p-scale device sweeps ("bfloat16" or
         "float32"). Accumulation is always float32
         (``preferred_element_type``).
-      decision_dtype: dtype for the host-side decision path (REML 1-D
-        optimization, extBIC, projector formation). Kept at float64 on the
-        host CPU because forward selection is a discrete argmax and tiny
-        numeric drift flips markers (SURVEY.md §8 "hardest parts" (1)).
+      (The decision path — REML 1-D optimization, extBIC, projector
+        state — is hardwired to host float64 by design, not configurable:
+        forward selection is a discrete argmax and tiny numeric drift
+        flips markers; SURVEY.md §8 "hardest parts" (1).)
       snp_tile: number of SNPs per streamed device tile for the out-of-core
         path; must be a multiple of 128 (lane width). ``None`` (default)
         auto-sizes to a ~512 MB float32 device tile — large tiles amortize
@@ -43,7 +43,6 @@ class EagleConfig:
 
     mesh_shape: Optional[Tuple[int, int]] = None
     compute_dtype: str = "float32"
-    decision_dtype: str = "float64"
     snp_tile: Optional[int] = None
     availmem_gb: float = 8.0
     device_cache_gb: float = 8.0
