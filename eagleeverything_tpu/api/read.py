@@ -108,6 +108,20 @@ def read_marker(
         blocks_iter = None
     elif type_l == "plink":
         blocks_iter = parsers.iter_plink_ped_blocks(filename)
+        # populate marker metadata from the .map companion when present
+        map_path = (filename[:-4] if filename.endswith(".ped")
+                    else filename) + ".map"
+        if os.path.exists(map_path):
+            _names, _chrom, _pos = [], [], []
+            with open(map_path) as f:
+                for ln in f:
+                    parts = ln.split()
+                    if len(parts) >= 4:
+                        _chrom.append(parts[0])
+                        _names.append(parts[1])
+                        _pos.append(int(parts[3]))
+            if _names:
+                names, chrom, pos = _names, _chrom, _pos
     elif type_l == "vcf":
         blocks_iter = None
     else:

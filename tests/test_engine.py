@@ -119,6 +119,16 @@ def test_full_scan_shard_count_invariance(sim):
                                results[1].extbic_path, rtol=1e-6)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_2d_mesh_tiled_engine_matches_oracle(sim, oracle_res):
+    """(ind=2, snp=4) mesh: streamed tiles sharded on BOTH axes through
+    GSPMD (SNP rows + individual columns) still reproduce the oracle."""
+    cfg = EagleConfig(mesh_shape=(2, 4))
+    res = engine_jax.forward_select(
+        sim.y, _design(sim), _handle(sim), maxit=10, config=cfg)
+    _check_matches_oracle(res, oracle_res)
+
+
 def test_engine_missing_genotypes(sim):
     simm = simulate_dataset(n=150, p=1200, n_qtl=3, seed=11, missing_rate=0.02)
     X0 = _design(simm)
