@@ -331,12 +331,16 @@ def forward_select_matfree(
     exact_topk: int = 64,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     quiet: bool = True,
+    log_jsonl: Optional[str] = None,
 ) -> AMResult:
     """The AM loop with matrix-free REML + sweep (biobank n-scale mode)."""
+    from eagleeverything_tpu.utils.logging import Phase, ScanLogger
+
     y = np.asarray(y, dtype=np.float64)
     X0 = np.asarray(X0, dtype=np.float64)
     n = y.shape[0]
     p = backend.src.p
+    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl)
 
     if s0 is None:
         # mean diag of MMt = E_j ‖w_j‖² — estimate with one probe pass:
@@ -370,11 +374,12 @@ def forward_select_matfree(
         print(f"[matfree] null: extBIC={best:.4f} delta={fit.delta:.4g}")
 
     for it in range(maxit):
-        t, cand = score_sweep_matfree(
-            ctx, backend, y, X, fit,
-            diag_probes=diag_probes, exact_topk=exact_topk,
-            column_f64=column_f64,
-        )
+        with Phase(logger, "sweep", items=p):
+            t, cand = score_sweep_matfree(
+                ctx, backend, y, X, fit,
+                diag_probes=diag_probes, exact_topk=exact_topk,
+                column_f64=column_f64,
+            )
         t[selected] = 0.0
         if cand in selected:
             cand = int(np.argmax(t))
@@ -387,10 +392,14 @@ def forward_select_matfree(
         fit_new = reml_maximize_matfree(ctx, y, X_new)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p,
                                     len(selected) + 1, lam_ebic)
+        accepted = ebic_new < best or fixit
+        logger.event("iteration", it=it, candidate=cand,
+                     t_max=float(t[cand]), extbic=float(ebic_new),
+                     accepted=accepted)
         if not quiet:
             print(f"[matfree] it={it} cand={cand} t={t[cand]:.3f} "
                   f"extBIC {best:.4f} -> {ebic_new:.4f}")
-        if ebic_new < best or fixit:
+        if accepted:
             selected.append(cand)
             X, fit, best = X_new, fit_new, ebic_new
             extbic_path.append(ebic_new)
@@ -398,6 +407,7 @@ def forward_select_matfree(
         else:
             break
 
+    logger.close()
     return AMResult(
         indices=selected, extbic_path=extbic_path,
         outlier_stats=outlier_stats, loglik_path=loglik_path,
