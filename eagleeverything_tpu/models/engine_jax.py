@@ -146,20 +146,60 @@ def normalized_kernel(
     return Z @ K @ Z.T if Z is not None else K
 
 
+class EigenBasis:
+    """The kernel eigenbasis with a host-or-device-resident U.
+
+    Below ``host_eigh_max_n`` U lives on the host in float64 (decision
+    path exactness); above it U is computed AND kept on device in float32
+    — at n = 50k a host f64 U would be 20 GB, while the only things the
+    host decision path ever needs are O(n·q) projections Uᵀ·v, which are
+    device matvecs here (SURVEY.md §8 hardest parts (1)/(2))."""
+
+    def __init__(self, d: np.ndarray, U_host: Optional[np.ndarray],
+                 U_dev: Optional[jax.Array]):
+        self.d = d
+        self._U_host = U_host
+        self._U_dev = U_dev
+
+    def project(self, M: np.ndarray) -> np.ndarray:
+        """Uᵀ·M → host f64 (M is (n,) or (n, q) — small output)."""
+        if self._U_host is not None:
+            return self._U_host.T @ M
+        out = jax.lax.dot_general(
+            self._U_dev, jnp.asarray(M, jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return np.asarray(out, dtype=np.float64)
+
+    def device_basis(self) -> jax.Array:
+        if self._U_dev is None:
+            self._U_dev = jnp.asarray(self._U_host, dtype=jnp.float32)
+        return self._U_dev
+
+    @property
+    def host_f64(self) -> Optional[np.ndarray]:
+        return self._U_host
+
+
 def _eigh_kernel(K: np.ndarray, config: EagleConfig) -> tuple[np.ndarray, np.ndarray]:
-    """Eigendecomposition of the (normalized) kernel: host f64 LAPACK for
-    n ≤ host_eigh_max_n, device f32 ``jnp.linalg.eigh`` above it — the
-    decision path tolerates f32 eigenvectors because the REML 1-D
-    optimization and extBIC comparisons still run in host f64 on the
-    projected quantities (SURVEY.md §8 hardest parts (1)/(2))."""
+    """Backward-compat wrapper: (d, U_host) — only valid when U fits on
+    the host (n ≤ host_eigh_max_n uses host LAPACK; above it the f32
+    device eigenvectors are pulled back). Prefer :func:`eigh_basis`."""
+    basis = eigh_basis(K, config)
+    U = basis.host_f64
+    if U is None:
+        U = np.asarray(basis.device_basis(), dtype=np.float64)
+    return basis.d, U
+
+
+def eigh_basis(K: np.ndarray, config: EagleConfig) -> EigenBasis:
     n = K.shape[0]
     if n <= config.host_eigh_max_n:
         d, U = np.linalg.eigh(K)
-    else:
-        d_dev, U_dev = jnp.linalg.eigh(jnp.asarray(K, dtype=jnp.float32))
-        d = np.asarray(d_dev, dtype=np.float64)
-        U = np.asarray(U_dev, dtype=np.float64)
-    return np.maximum(d, 0.0), U
+        return EigenBasis(np.maximum(d, 0.0), U, None)
+    d_dev, U_dev = jnp.linalg.eigh(jnp.asarray(K, dtype=jnp.float32))
+    d = np.maximum(np.asarray(d_dev, dtype=np.float64), 0.0)
+    return EigenBasis(d, None, U_dev)
 
 
 def _impute_column_f64(col_raw: np.ndarray) -> np.ndarray:
@@ -559,7 +599,7 @@ def forward_select(
     # every subsequent REML fit is O(n·q²) in this basis, and the sweep's
     # projector factor is an O(n²·q) rank-q update — no per-iteration n³.
     # Cached alongside MMt (it is iteration/permutation-invariant, §6.4).
-    d_eig = U_eig = None
+    basis = None
     eig_key = None
     if ckpt_dir is not None and Z is None:
         # key by kernel CONTENT, not just source: a changed/invalidated MMt
@@ -570,20 +610,26 @@ def forward_select(
                      .hexdigest()[:16])
         cached = ckpt.load_eig(ckpt_dir, eig_key)
         if cached is not None and cached[0].shape[0] == n:
-            d_eig, U_eig = cached
-    if d_eig is None:
+            basis = EigenBasis(np.maximum(cached[0], 0.0), cached[1], None)
+    if basis is None:
         with Phase(logger, "eigh", items=n):
-            d_eig, U_eig = _eigh_kernel(K_eff, config)
-        if eig_key is not None:
-            ckpt.save_eig(ckpt_dir, eig_key, d_eig, U_eig)
-    d_eig = np.maximum(d_eig, 0.0)
-    y_star = U_eig.T @ y
-    Xs = U_eig.T @ X
+            basis = eigh_basis(K_eff, config)
+        if eig_key is not None and basis.host_f64 is not None:
+            ckpt.save_eig(ckpt_dir, eig_key, basis.d, basis.host_f64)
+    d_eig = basis.d
+    y_star = basis.project(y)
+    Xs = basis.project(X)
     # device-resident eigenbasis: every sweep (tiled or sharded) runs in
     # K's eigenbasis (kernels.score_tile_eig / collectives
     # score_and_argmax_eig) — per-iteration traffic and host work drop
-    # from O(n²) to O(n·q)
-    backend.set_eigenbasis(U_eig if Z is None else Z.T @ U_eig)
+    # from O(n²) to O(n·q); at big n U never exists on the host at all
+    if Z is None:
+        backend.set_eigenbasis(basis.device_basis())
+    else:
+        if basis.host_f64 is None:
+            raise NotImplementedError(
+                "Zmat designs above host_eigh_max_n are not supported yet")
+        backend.set_eigenbasis(Z.T @ basis.host_f64)
     qmax = -(-(X0.shape[1] + maxit + 1) // 8) * 8
 
     fit = reml_core.reml_maximize_diag(d_eig, y_star, Xs)
@@ -610,7 +656,7 @@ def forward_select(
         w_col = _impute_column_f64(src.column(cand))
         x_col = Z @ w_col if Z is not None else w_col
         X_new = np.hstack([X, x_col[:, None]])
-        Xs_new = np.hstack([Xs, (U_eig.T @ x_col)[:, None]])  # incremental UᵀX
+        Xs_new = np.hstack([Xs, basis.project(x_col)[:, None]])  # incremental UᵀX
         fit_new = reml_core.reml_maximize_diag(d_eig, y_star, Xs_new)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p, len(selected) + 1, lam_ebic)
         if not quiet:

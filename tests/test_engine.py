@@ -158,3 +158,12 @@ def test_bf16_policy_finds_same_markers(sim, oracle_res):
         sim.y, _design(sim), _handle(sim), maxit=10, config=cfg
     )
     assert res.indices == oracle_res.indices
+
+
+def test_device_only_eigenbasis_matches_host(sim, oracle_res):
+    """Forcing the device-f32 eigendecomposition (big-n regime: U never
+    materialized on the host) must reproduce the host-f64 selection."""
+    cfg = EagleConfig(host_eigh_max_n=8)  # force the device path at any n
+    res = engine_jax.forward_select(
+        sim.y, _design(sim), _handle(sim), maxit=10, config=cfg)
+    assert res.indices == oracle_res.indices
