@@ -24,6 +24,7 @@ def plot_am(
     show: bool = False,
     chr_colors: tuple[str, str] = ("#3b4cc0", "#8ea0cc"),
     type: str = "manhattan",
+    highlight_changes: bool = False,
 ):
     """Plot the scan (reference: ``PlotAM()``).
 
@@ -74,6 +75,21 @@ def plot_am(
             t = np.asarray(res.outlier_stats[it])
         p = t.shape[0]
         fig, ax = _make_fig((10, 4))
+        # reference PlotAM colors each SNP by the iteration at which its
+        # statistic changed; overlay that as point brightness when there
+        # is more than one iteration
+        change_it = None
+        if highlight_changes and len(res.outlier_stats) > 1 and itnum is None:
+            stack = np.stack(res.outlier_stats)
+            diffs = np.abs(np.diff(stack, axis=0))  # (its-1, p)
+            # substantial changes only (>25% of the SNP's initial statistic
+            # and non-trivial absolute size): the LD partners of selected
+            # markers, not the global re-conditioning ripple
+            base = np.maximum(stack[0], 1.0)
+            rel = diffs.max(axis=0) / base
+            changed = (rel > 0.25) & (diffs.max(axis=0) > 1.0)
+            change_it = np.where(changed, diffs.argmax(axis=0) + 1, 0)
+
         if map is not None:
             chroms = np.asarray(map.chrom)
             uniq = list(dict.fromkeys(chroms.tolist()))  # stable order
@@ -98,6 +114,12 @@ def plot_am(
             x = np.arange(p, dtype=float)
             ax.scatter(x, t, s=6, color=chr_colors[0], linewidths=0)
             ax.set_xlabel("SNP index")
+        if change_it is not None and change_it.any():
+            m = change_it > 0
+            ax.scatter(x[m], t[m], s=10, c=change_it[m], cmap="autumn",
+                       linewidths=0, alpha=0.8, zorder=2.5,
+                       label="statistic changed during selection")
+            ax.legend(loc="upper right", fontsize=8, frameon=False)
         for rank, j in enumerate(res.indices):
             if j < p:
                 ax.scatter([x[j]], [t[j]], s=40, color="#d7342f", zorder=3)

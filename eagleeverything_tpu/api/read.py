@@ -73,6 +73,7 @@ def read_marker(
     store_dir: Optional[str] = None,
     n_shards: Optional[int] = None,
     packed: bool = False,
+    quiet: bool = True,
 ) -> GenoHandle:
     """Ingest genotypes (reference: ``ReadMarker()``, SURVEY.md §3.1/§4.1).
 
@@ -174,6 +175,11 @@ def read_marker(
     else:
         geno = np.vstack(list(blocks_iter))
     n, p = geno.shape
+    if not quiet:
+        # reference: ReadMarker prints dimensions + memory-need estimates
+        print(f"ReadMarker: {n} individuals x {p} SNPs from {filename}; "
+              f"in-memory int8 {n * p / 1e6:.1f} MB, f32 working set "
+              f"{n * p * 4 / 1e6:.1f} MB (availmemGb={availmemGb})")
     return GenoHandle(n=n, p=p, source=filename, geno=geno,
                       availmem_gb=availmemGb, marker_names=names,
                       chrom=chrom, pos=pos)
