@@ -50,6 +50,9 @@ def main(argv=None) -> int:
 
     am_p = sub.add_parser("am", help="run the multiple-locus scan")
     add_scan_args(am_p)
+    am_p.add_argument("--traits", default=None,
+                      help="comma-separated trait list for a lockstep "
+                           "multi-trait scan (overrides --trait)")
     am_p.add_argument("--maxit", type=int, default=40)
     am_p.add_argument("--fixit", action="store_true")
     am_p.add_argument("--lambda", dest="lam", type=float, default=1.0)
@@ -122,6 +125,22 @@ def _run(args) -> int:
         if args.profile:
             import jax
             prof = jax.profiler.trace(args.profile)
+        if args.traits:
+            traits = [t.strip() for t in args.traits.split(",") if t.strip()]
+            with prof:
+                results = ee.am_multi(traits, geno=geno, pheno=pheno,
+                                      fformula=args.fformula, map=map_h,
+                                      maxit=args.maxit, fixit=args.fixit,
+                                      lam=args.lam, quiet=False)
+            if args.json:
+                payload = {t: {"indices": r.indices,
+                               "marker_names": r.marker_names,
+                               "extbic_path": r.extbic_path}
+                           for t, r in results.items()}
+                with open(args.json, "w") as f:
+                    json.dump(payload, f, indent=1)
+                print(f"results written to {args.json}")
+            return 0
         with prof:
             res = ee.am(trait=args.trait, geno=geno, pheno=pheno,
                         fformula=args.fformula, map=map_h, Zmat=zmat,
