@@ -45,15 +45,51 @@ def main() -> None:
     ap.add_argument("--watchdog", type=int, default=480,
                     help="seconds before a stack dump + exit(1) — guards "
                          "against a wedged device hanging the harness")
+    ap.add_argument("--single", action="store_true",
+                    help="run one measurement directly (no retry ladder)")
     args = ap.parse_args()
+
+    # Retry ladder: the sandbox's relay backend intermittently wedges on
+    # the largest program; run the measurement in a child process and
+    # halve p on failure so the harness ALWAYS gets a JSON line.
+    if args.config == "sweep" and not args.single and not args.quick:
+        import subprocess
+        import sys
+        per_try = min(300, args.watchdog)  # healthy path ≈ compile+run < 5 min
+        for p_try in (args.p, args.p // 2, args.p // 4):
+            cmd = [sys.executable, __file__, "--single",
+                   "--n", str(args.n), "--p", str(p_try),
+                   "--dtype", args.dtype, "--reps", str(args.reps),
+                   "--watchdog", str(per_try)]
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=per_try + 60)
+            except subprocess.TimeoutExpired:
+                continue
+            lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")]
+            if r.returncode == 0 and lines:
+                print(lines[-1])
+                return
+        print(json.dumps({
+            "metric": "snps_scored_per_sec_per_chip", "value": 0.0,
+            "unit": "SNPs/s", "vs_baseline": None,
+            "detail": {"error": "all bench attempts failed "
+                                "(device/relay wedged)"},
+        }))
+        raise SystemExit(1)
     if args.watchdog > 0:
-        # plain Timer + os._exit: faulthandler.dump_traceback_later can be
-        # neutralized by runtime libraries (observed: never fired while the
-        # device relay was wedged), a daemon Timer thread cannot
+        # BOTH mechanisms: a wedged PJRT client blocks holding the GIL, so
+        # a Python Timer thread cannot run — faulthandler's C-level
+        # watchdog can (and exits). The Timer covers the opposite case
+        # (faulthandler cancelled by a library) and prints a parseable
+        # error line when the GIL is available.
         import faulthandler
         import os as _os
         import sys as _sys
         import threading as _threading
+
+        faulthandler.dump_traceback_later(args.watchdog, exit=True)
 
         def _watchdog_fire():
             print(json.dumps({
@@ -65,7 +101,7 @@ def main() -> None:
             faulthandler.dump_traceback(file=_sys.stderr)
             _os._exit(1)
 
-        _t = _threading.Timer(args.watchdog, _watchdog_fire)
+        _t = _threading.Timer(args.watchdog + 5, _watchdog_fire)
         _t.daemon = True
         _t.start()
     if args.quick:
