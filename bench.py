@@ -92,8 +92,11 @@ def main() -> None:
         faulthandler.dump_traceback_later(args.watchdog, exit=True)
 
         def _watchdog_fire():
+            metric = ("snps_scored_per_sec_per_chip_outofcore"
+                      if args.config == "cohort"
+                      else "snps_scored_per_sec_per_chip")
             print(json.dumps({
-                "metric": "snps_scored_per_sec_per_chip", "value": 0.0,
+                "metric": metric, "value": 0.0,
                 "unit": "SNPs/s", "vs_baseline": None,
                 "detail": {"error": f"watchdog: no result within "
                                     f"{args.watchdog}s (device wedged?)"},
