@@ -208,3 +208,22 @@ def test_cli_profile_flag(data_dir, tmp_path):
     for root, _dirs, files in os.walk(prof):
         found += files
     assert found, "no trace files written"
+
+
+def test_fpr_calibration_out_of_sample(handles):
+    """λ* calibrated on one permutation sample must control the false-
+    positive rate on an INDEPENDENT permutation sample (loose statistical
+    bounds; 40 reps each)."""
+    geno, pheno, _, _ = handles
+    kw = dict(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+              numreps=40)
+    cal = ee.fpr4am(falseposrate=0.10, seed=101, **kw)
+    fresh = ee.fpr4am(falseposrate=0.10, seed=202, **kw)
+    crits = np.asarray(fresh["lambda_crits"])
+    fpr_at_star = float(np.mean(crits > cal["lambda"]))
+    # binomial(40, 0.10): p(≥13 successes) < 1e-5 → generous upper bound
+    assert fpr_at_star <= 0.30, fpr_at_star
+    # monotonicity: a larger lambda can only reduce the FP fraction
+    assert float(np.mean(crits > cal["lambda"] * 2)) <= fpr_at_star
+    # and lambda=0 would fire on (nearly) every permutation
+    assert float(np.mean(crits > 0)) >= 0.8
