@@ -81,13 +81,11 @@ def am(
         # biobank n-scale mode: K never materialized — CG/SLQ REML and the
         # two-stage probe/exact score sweep (docs/design_biobank_scale.md)
         from eagleeverything_tpu.models import bigscan, engine_jax
-        if prep.Z is not None:
-            raise ValueError("engine='matfree' does not support Zmat yet")
         src = engine_jax._make_source(prep.handle, prep.keep_individuals)
         backend = engine_jax.TiledScan(src, config)
         res = bigscan.forward_select_matfree(
             prep.y, prep.X0, backend, maxit=maxit, fixit=fixit,
-            lam_ebic=lam, quiet=quiet,
+            lam_ebic=lam, quiet=quiet, Z=prep.Z, log_jsonl=log_jsonl,
             column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)),
         )
     else:

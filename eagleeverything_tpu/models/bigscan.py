@@ -239,6 +239,7 @@ def score_sweep_matfree(
     diag_probes: int = 128,
     exact_topk: int = 64,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
+    Z: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, int]:
     """All-SNP outlier statistics without P̃ as a matrix.
 
@@ -271,12 +272,14 @@ def score_sweep_matfree(
     Py = Hiy - HiX @ np.linalg.solve(XtHiX, XtHiy)
 
     rng = np.random.default_rng(12345)
-    Z = rng.choice((-1.0, 1.0), size=(n, diag_probes))
-    HZ = lanczos_isqrt_apply(mv, Z, m=ctx.lanczos_m)
+    probes = rng.choice((-1.0, 1.0), size=(n, diag_probes))
+    HZp = lanczos_isqrt_apply(mv, probes, m=ctx.lanczos_m)
 
-    # one streamed pass computes all per-SNP dot products
-    A = np.column_stack([Py, HiX, HZ])            # (n, 1+q+r)
-    D = backend.sweep_dots(A)
+    # one streamed pass computes all per-SNP dot products; with an
+    # incidence matrix the effective sweep columns are Z·w_j, so dots
+    # against record-level vectors become Wᵀ·(Zᵀ·A)
+    A = np.column_stack([Py, HiX, HZp])           # (n_rec, 1+q+r)
+    D = backend.sweep_dots(Z.T @ A if Z is not None else A)
     ahat = D[:, 0]
     U = D[:, 1 : 1 + q]
     WHZ = D[:, 1 + q :]
@@ -296,6 +299,8 @@ def score_sweep_matfree(
     top = np.argpartition(t_est, -k)[-k:]
     top = top[np.argsort(-t_est[top], kind="stable")]
     Wtop = np.column_stack([column_f64(int(j)) for j in top])
+    if Z is not None:
+        Wtop = Z @ Wtop          # record-level effective columns
     HiW = blocked_cg(mv, Wtop, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
     diag_exact = np.sum(Wtop * HiW, axis=0)
     Utop = U[top]
@@ -332,8 +337,14 @@ def forward_select_matfree(
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     quiet: bool = True,
     log_jsonl: Optional[str] = None,
+    Z: Optional[np.ndarray] = None,
 ) -> AMResult:
-    """The AM loop with matrix-free REML + sweep (biobank n-scale mode)."""
+    """The AM loop with matrix-free REML + sweep (biobank n-scale mode).
+
+    With an incidence matrix Z (n_rec × n_ind), the record-level kernel
+    K_eff = Z·K·Zᵀ is reached matrix-free too:
+    K_eff·V = Z·(Wᵀ(W·(Zᵀ·V)))/s0 — Z never touches the device kernels.
+    """
     from eagleeverything_tpu.utils.logging import Phase, ScanLogger
 
     y = np.asarray(y, dtype=np.float64)
@@ -341,17 +352,24 @@ def forward_select_matfree(
     n = y.shape[0]
     p = backend.src.p
     logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl)
+    if Z is not None:
+        Z = np.asarray(Z, dtype=np.float64)
 
+    n_ind = backend.src.n
     if s0 is None:
         # mean diag of MMt = E_j ‖w_j‖² — estimate with one probe pass:
         # tr(MMt)/n = Σ_j ‖w_j‖²/n via Hutchinson on MMt
         rng = np.random.default_rng(0)
-        Z = rng.choice((-1.0, 1.0), size=(n, 16))
-        KZ = backend.kernel_matvec(Z)
-        s0 = float(np.mean(np.sum(Z * KZ, axis=0)) / n)
+        Zp = rng.choice((-1.0, 1.0), size=(n_ind, 16))
+        KZ = backend.kernel_matvec(Zp)
+        s0 = float(np.mean(np.sum(Zp * KZ, axis=0)) / n_ind)
 
-    def kernel_matvec(V):
-        return backend.kernel_matvec(V) / s0
+    if Z is None:
+        def kernel_matvec(V):
+            return backend.kernel_matvec(V) / s0
+    else:
+        def kernel_matvec(V):
+            return Z @ backend.kernel_matvec(Z.T @ V) / s0
 
     rng = np.random.default_rng(4242)
     ctx = MatfreeContext(
@@ -378,7 +396,7 @@ def forward_select_matfree(
             t, cand = score_sweep_matfree(
                 ctx, backend, y, X, fit,
                 diag_probes=diag_probes, exact_topk=exact_topk,
-                column_f64=column_f64,
+                column_f64=column_f64, Z=Z,
             )
         t[selected] = 0.0
         if cand in selected:
@@ -388,6 +406,8 @@ def forward_select_matfree(
         w_col = column_f64(cand) if column_f64 is not None else None
         if w_col is None:
             raise ValueError("forward_select_matfree needs column_f64")
+        if Z is not None:
+            w_col = Z @ w_col
         X_new = np.hstack([X, w_col[:, None]])
         fit_new = reml_maximize_matfree(ctx, y, X_new)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p,

@@ -88,3 +88,25 @@ def test_matfree_forward_select_matches_exact_engine():
     assert mf.indices == exact.indices
     np.testing.assert_allclose(mf.extbic_path, exact.extbic_path,
                                rtol=0.02)  # SLQ-noise tolerance
+
+
+def test_matfree_with_zmat_matches_exact():
+    """Z incidence designs through the matrix-free path (K_eff = Z·K·Zᵀ
+    reached via wrapped matvecs) reproduce the exact engine."""
+    sim = simulate_dataset(n=80, p=400, n_qtl=1, seed=5, h2_qtl=0.6)
+    Z = np.kron(np.eye(80), np.ones((2, 1)))
+    rng = np.random.default_rng(2)
+    y_rec = Z @ sim.y + 0.3 * rng.standard_normal(160)
+    X0 = np.ones((160, 1))
+
+    from eagleeverything_tpu.api.read import GenoHandle
+    handle = GenoHandle(n=80, p=400, source="<mz>", geno=sim.geno)
+    exact = engine_jax.forward_select(y_rec, X0, handle, maxit=3, Z=Z)
+
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    mf = bigscan.forward_select_matfree(
+        y_rec, X0, backend, maxit=3, probes=32, diag_probes=96,
+        exact_topk=32, Z=Z,
+        column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)))
+    assert mf.indices == exact.indices
