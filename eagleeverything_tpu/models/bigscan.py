@@ -348,6 +348,8 @@ def forward_select_matfree(
     quiet: bool = True,
     log_jsonl: Optional[str] = None,
     Z: Optional[np.ndarray] = None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> AMResult:
     """The AM loop with matrix-free REML + sweep (biobank n-scale mode).
 
@@ -394,14 +396,31 @@ def forward_select_matfree(
     outlier_stats: list[np.ndarray] = []
 
     X = X0
+    if resume and ckpt_dir is not None:
+        from eagleeverything_tpu.utils import checkpoint as ckpt
+        state = ckpt.load_scan_state(ckpt_dir)
+        if state is not None:
+            meta = state.get("meta", {})
+            if (meta.get("trait_n"), meta.get("p"),
+                    meta.get("lam_ebic")) != (n, p, lam_ebic):
+                raise ValueError("refusing to resume: matfree checkpoint "
+                                 "was written for different inputs")
+            selected = [int(j) for j in state["selected"]]
+            for j in selected:
+                col = column_f64(j)
+                X = np.hstack([X, (Z @ col if Z is not None else col)[:, None]])
+            extbic_path = [float(v) for v in state["extbic_path"][:-1]]
+            loglik_path = [float(v) for v in state["loglik_path"][:-1]]
+            logger.event("resume", markers=len(selected))
+
     fit = reml_maximize_matfree(ctx, y, X)
-    best = reml_core.extbic(fit.loglik, n, p, 0, lam_ebic)
+    best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
     extbic_path.append(best)
     loglik_path.append(fit.loglik)
     if not quiet:
-        print(f"[matfree] null: extBIC={best:.4f} delta={fit.delta:.4g}")
+        print(f"[matfree] start: extBIC={best:.4f} delta={fit.delta:.4g}")
 
-    for it in range(maxit):
+    for it in range(len(selected), maxit):
         with Phase(logger, "sweep", items=p):
             t, cand = score_sweep_matfree(
                 ctx, backend, y, X, fit,
@@ -435,6 +454,12 @@ def forward_select_matfree(
             X, fit, best = X_new, fit_new, ebic_new
             extbic_path.append(ebic_new)
             loglik_path.append(fit_new.loglik)
+            if ckpt_dir is not None:
+                from eagleeverything_tpu.utils import checkpoint as ckpt
+                ckpt.save_scan_state(
+                    ckpt_dir, selected, extbic_path, loglik_path,
+                    fit.delta, fit.sigma2_g, fit.sigma2_e,
+                    meta={"trait_n": n, "p": p, "lam_ebic": lam_ebic})
         else:
             break
 

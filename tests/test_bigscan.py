@@ -110,3 +110,27 @@ def test_matfree_with_zmat_matches_exact():
         exact_topk=32, Z=Z,
         column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)))
     assert mf.indices == exact.indices
+
+
+def test_matfree_checkpoint_resume(tmp_path):
+    sim = simulate_dataset(n=100, p=400, n_qtl=2, seed=31, h2_qtl=0.55)
+    X0 = np.ones((100, 1))
+    src = engine_jax.DenseTileSource(sim.geno)
+
+    def make_backend():
+        return engine_jax.TiledScan(src, EagleConfig())
+
+    def col(j):
+        return engine_jax._impute_column_f64(src.column(j))
+
+    kw = dict(probes=32, diag_probes=96, exact_topk=32, column_f64=col)
+    fresh = bigscan.forward_select_matfree(sim.y, X0, make_backend(),
+                                           maxit=4, **kw)
+    assert len(fresh.indices) >= 2
+    d = str(tmp_path / "ck")
+    bigscan.forward_select_matfree(sim.y, X0, make_backend(), maxit=1,
+                                   fixit=True, ckpt_dir=d, **kw)
+    resumed = bigscan.forward_select_matfree(sim.y, X0, make_backend(),
+                                             maxit=4, ckpt_dir=d,
+                                             resume=True, **kw)
+    assert resumed.indices == fresh.indices
