@@ -348,45 +348,58 @@ class TiledScan:
             out[j0 : j0 + b] = np.asarray(self._score(w, Lp_d, Py_d, s2g))[:b]
         return out
 
-    # ---- eigenbasis sweep: U device-resident, no per-iteration n² host work
+    # ---- eigenbasis sweep: U device-resident, T = Wt·U cached per tile,
+    # per-iteration device work is O(p·n·q) skinny ops only
     def set_eigenbasis(self, U_eff: np.ndarray) -> None:
         """Place the (possibly Zᵀ-projected) eigenbasis on device once per
         scan; subsequent sweeps take only O(n·q) per-iteration inputs."""
         self._U_dev = jnp.asarray(U_eff, dtype=jnp.float32)
+        self._tcache: Optional[list[tuple[int, int, jax.Array]]] = None
+
+    def _T_tiles(self) -> Iterator[tuple[int, int, jax.Array]]:
+        """Eigenbasis tiles T = Wt·U — iteration-invariant, so cached on
+        device; the W-tile cache is released once T exists (same bytes)."""
+        if self._tcache is not None:
+            yield from self._tcache
+            return
+        cache = [] if self.cache_device else None
+        for j0, b, w in self._device_tiles():
+            T = kernels.eig_T_tile(w, self._U_dev)
+            if cache is not None:
+                cache.append((j0, b, T))
+            yield j0, b, T
+        if cache is not None:
+            self._tcache = cache
+            self._wcache = None  # W no longer needed by the exact scan
 
     def sweep_eig(self, s: np.ndarray, Q: np.ndarray, z3: np.ndarray,
                   sigma2_g: float) -> np.ndarray:
-        """Eigenbasis score sweep (kernels.score_tile_eig): s, Q, z3 are
-        the host-f64 per-iteration state; P̃y = U_eff·z3 is formed on
-        device."""
+        """Eigenbasis score sweep on the cached T tiles
+        (kernels.score_from_T); s, Q, z3 are the host-f64 per-iteration
+        state."""
         s_d = jnp.asarray(s, jnp.float32)
         Q_d = jnp.asarray(Q, jnp.float32)
-        Py_d = jnp.dot(self._U_dev, jnp.asarray(z3, jnp.float32),
-                       preferred_element_type=jnp.float32)
+        z3_d = jnp.asarray(z3, jnp.float32)
         s2g = jnp.float32(sigma2_g)
         out = np.empty(self.src.p)
-        for j0, b, w in self._device_tiles():
+        for j0, b, T in self._T_tiles():
             out[j0 : j0 + b] = np.asarray(
-                kernels.score_tile_eig(w, self._U_dev, s_d, Q_d, Py_d, s2g)
-            )[:b]
+                kernels.score_from_T(T, s_d, Q_d, z3_d, s2g))[:b]
         return out
 
     def sweep_eig_batched(self, s: np.ndarray, Q: np.ndarray,
                           z3: np.ndarray, sigma2_g: np.ndarray) -> np.ndarray:
         """Batched eigenbasis sweep: s (R,n), Q (R,n,q), z3 (R,n) → (R,p).
-        Per-batch state is O(R·n·q) — the T = Wt·U GEMM is shared."""
+        The cached T tiles are shared across the whole batch."""
         s_d = jnp.asarray(s, jnp.float32)
         Q_d = jnp.asarray(Q, jnp.float32)
-        Py_d = jnp.dot(jnp.asarray(z3, jnp.float32), self._U_dev.T,
-                       preferred_element_type=jnp.float32)
+        z3_d = jnp.asarray(z3, jnp.float32)
         s2g = jnp.asarray(sigma2_g, jnp.float32)
         R = s_d.shape[0]
         out = np.empty((R, self.src.p))
-        for j0, b, w in self._device_tiles():
+        for j0, b, T in self._T_tiles():
             out[:, j0 : j0 + b] = np.asarray(
-                kernels.score_tile_eig_batched(
-                    w, self._U_dev, s_d, Q_d, Py_d, s2g)
-            )[:, :b]
+                kernels.score_from_T_batched(T, s_d, Q_d, z3_d, s2g))[:, :b]
         return out
 
     def kernel_matvec(self, V: np.ndarray) -> np.ndarray:
@@ -469,17 +482,17 @@ class ShardedScan:
 
     def set_eigenbasis(self, U_eff: np.ndarray) -> None:
         self._U_dev = jnp.asarray(U_eff, dtype=jnp.float32)
+        # T = Wt·U, sharded like Wt's rows; iteration-invariant, built once
+        self._T = jax.jit(kernels.eig_T_tile)(self.Wt, self._U_dev)
 
     def sweep_eig(self, s, Q, z3, sigma2_g,
                   exclude: Optional[list[int]] = None):
-        """Eigenbasis sweep + collective argmax on the sharded Wt."""
+        """Eigenbasis sweep + collective argmax on the sharded T tiles."""
         mask_dev = self._mask(exclude)
-        Py_d = jnp.dot(self._U_dev, jnp.asarray(z3, jnp.float32),
-                       preferred_element_type=jnp.float32)
-        t, i_glob, m_glob = collectives.score_and_argmax_eig(
-            self.Wt, self._U_dev,
+        t, i_glob, m_glob = collectives.score_and_argmax_from_T(
+            self._T,
             jnp.asarray(s, jnp.float32), jnp.asarray(Q, jnp.float32),
-            Py_d, sigma2_g, mask_dev, self.mesh,
+            jnp.asarray(z3, jnp.float32), sigma2_g, mask_dev, self.mesh,
         )
         return (np.asarray(t)[: self.src.p], int(i_glob), float(m_glob))
 
@@ -620,8 +633,8 @@ def forward_select(
     y_star = basis.project(y)
     Xs = basis.project(X)
     # device-resident eigenbasis: every sweep (tiled or sharded) runs in
-    # K's eigenbasis (kernels.score_tile_eig / collectives
-    # score_and_argmax_eig) — per-iteration traffic and host work drop
+    # K's eigenbasis (cached T = Wt·U tiles, kernels.score_from_T /
+    # collectives.score_and_argmax_from_T) — per-iteration work drops
     # from O(n²) to O(n·q); at big n U never exists on the host at all
     if Z is None:
         backend.set_eigenbasis(basis.device_basis())

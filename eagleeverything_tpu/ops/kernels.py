@@ -131,53 +131,54 @@ def score_tile_sqrt_bf16(
     return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
 
 
+
 @jax.jit
-def score_tile_eig(
-    Wt: jax.Array, U: jax.Array, s: jax.Array, Q: jax.Array,
-    Py: jax.Array, sigma2_g: jax.Array,
+def eig_T_tile(Wt: jax.Array, U: jax.Array) -> jax.Array:
+    """T = Wt·U — the genotype tile expressed in K's eigenbasis.
+
+    T is ITERATION-INVARIANT (U is fixed for the whole scan), so it is
+    computed once per tile and cached; every subsequent sweep needs only
+    the O(b·n·q) work of :func:`score_from_T`. This one GEMM carries all
+    the scan's heavy FLOPs."""
+    return jnp.dot(Wt, U, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def score_from_T(
+    T: jax.Array, s: jax.Array, Q: jax.Array, z3: jax.Array,
+    sigma2_g: jax.Array,
 ) -> jax.Array:
-    """Score sweep in the kernel eigenbasis — P̃ is NEVER materialized.
+    """Outlier statistics from the cached eigenbasis tile T (b, n).
 
-    With K = U·diag(d)·Uᵀ, S = diag(s) = diag((d+δ)^(-1/2)) and Q the
-    orthonormal basis of S·UᵀX:  P̃ = U·S·(I−QQᵀ)·S·Uᵀ, so per SNP tile
+    With Ts = T∘s and ORTHONORMAL Q (zero-padded columns are inert):
 
-      T = Wt·U,  B = (T∘s)·(I−QQᵀ),  vara = σ²_g·rowsum(B²)
+      â      = T·z3                      (P̃y = U·z3 ⇒ Wt·P̃y = T·z3)
+      vara   = σ²_g·(‖Ts‖²_row − ‖Ts·Q‖²_row)   (Pythagoras on I−QQᵀ)
 
-    Only U (n², device-resident for the whole scan) is large; the
-    per-iteration inputs are s (n,), Q (n,q), Py (n,) — no n×n projector
-    transfer or host GEMM per iteration. Same FLOP count as the factor
-    form (the Wt·U GEMM dominates), plus two rank-q corrections.
-    """
-    T = jnp.dot(Wt, U, preferred_element_type=jnp.float32)
+    Per-iteration cost is one skinny (b,n)×(n,q) GEMM + elementwise —
+    ~n/q times cheaper than re-running the dense sweep GEMM. The relative
+    guard on vara protects the difference-of-squares against f32
+    cancellation when a SNP is almost fully captured by the model (its â
+    is then ≈0 as well, so t must be 0)."""
+    ahat = jnp.dot(T, z3, preferred_element_type=jnp.float32)
     Ts = T * s[None, :]
-    B = Ts - jnp.dot(jnp.dot(Ts, Q, preferred_element_type=jnp.float32),
-                     Q.T, preferred_element_type=jnp.float32)
-    vara = sigma2_g * jnp.sum(B * B, axis=1)
-    ahat = jnp.dot(Wt, Py, preferred_element_type=jnp.float32)
-    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+    ts2 = jnp.sum(Ts * Ts, axis=1)
+    TQ = jnp.dot(Ts, Q, preferred_element_type=jnp.float32)
+    vara_raw = ts2 - jnp.sum(TQ * TQ, axis=1)
+    vara = sigma2_g * vara_raw
+    valid = vara_raw > 1e-6 * jnp.maximum(ts2, 1e-12)
+    return jnp.where(valid & (vara > 1e-12), (ahat * ahat) / vara, 0.0)
 
 
 @jax.jit
-def score_tile_eig_batched(
-    Wt: jax.Array, U: jax.Array, s: jax.Array, Q: jax.Array,
-    Py: jax.Array, sigma2_g: jax.Array,
+def score_from_T_batched(
+    T: jax.Array, s: jax.Array, Q: jax.Array, z3: jax.Array,
+    sigma2_g: jax.Array,
 ) -> jax.Array:
-    """Batched eigenbasis sweep: s (R,n), Q (R,n,q), Py (R,n), σ²_g (R,)
-    against one tile → (R, b). The T = Wt·U GEMM is computed ONCE and
-    shared across the whole batch (the big win over batching projector
-    factors: per-permutation state is O(n·q), not O(n²))."""
-    T = jnp.dot(Wt, U, preferred_element_type=jnp.float32)
+    """Batched :func:`score_from_T`: s (R,n), Q (R,n,q), z3 (R,n) → (R,b)."""
+    return jax.vmap(score_from_T, in_axes=(None, 0, 0, 0, 0))(
+        T, s, Q, z3, sigma2_g)
 
-    def one(s_r, Q_r, Py_r, s2g_r):
-        Ts = T * s_r[None, :]
-        B = Ts - jnp.dot(
-            jnp.dot(Ts, Q_r, preferred_element_type=jnp.float32),
-            Q_r.T, preferred_element_type=jnp.float32)
-        vara = s2g_r * jnp.sum(B * B, axis=1)
-        ahat = jnp.dot(Wt, Py_r, preferred_element_type=jnp.float32)
-        return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
-
-    return jax.vmap(one)(s, Q, Py, sigma2_g)
 
 
 @jax.jit

@@ -94,31 +94,33 @@ def score_and_argmax(
     return _sweep(Wt, Lp, Py, jnp.asarray(sigma2_g, jnp.float32), tmask)
 
 
-def score_and_argmax_eig(
-    Wt: jax.Array, U: jax.Array, s: jax.Array, Q: jax.Array,
-    Py: jax.Array, sigma2_g: jax.Array, tmask: jax.Array, mesh: Mesh,
+
+def score_and_argmax_from_T(
+    T: jax.Array, s: jax.Array, Q: jax.Array, z3: jax.Array,
+    sigma2_g: jax.Array, tmask: jax.Array, mesh: Mesh,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Eigenbasis form of :func:`score_and_argmax` (see
-    ops/kernels.score_tile_eig): U/s/Q/Py replicated, Wt SNP-sharded; all
-    compute is shard-local, the only communication is the argmax pmax/pmin
-    pair and the t all_gather."""
+    """Collective sweep over the cached eigenbasis tiles T = Wt·U
+    (see ops/kernels.score_from_T): all heavy FLOPs were paid once when T
+    was built; per iteration each shard does only skinny rank-q work plus
+    the argmax pmax/pmin pair and the t all_gather."""
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(SNP_AXIS, None), P(None, None), P(None,),
-                  P(None, None), P(None,), P(), P(SNP_AXIS)),
+        in_specs=(P(SNP_AXIS, None), P(None,), P(None, None), P(None,),
+                  P(), P(SNP_AXIS)),
         out_specs=(P(None,), P(), P()),
         check_vma=False,
     )
-    def _sweep(wt, u, s_r, q_r, py, s2g, mask):
-        T = jnp.dot(wt, u, preferred_element_type=jnp.float32)
-        Ts = T * s_r[None, :]
-        B = Ts - jnp.dot(
-            jnp.dot(Ts, q_r, preferred_element_type=jnp.float32),
-            q_r.T, preferred_element_type=jnp.float32)
-        vara = s2g * jnp.sum(B * B, axis=1)
-        ahat = jnp.dot(wt, py, preferred_element_type=jnp.float32)
-        t = jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0) * mask
+    def _sweep(t_local, s_r, q_r, z3_r, s2g, mask):
+        ahat = jnp.dot(t_local, z3_r, preferred_element_type=jnp.float32)
+        Ts = t_local * s_r[None, :]
+        ts2 = jnp.sum(Ts * Ts, axis=1)
+        TQ = jnp.dot(Ts, q_r, preferred_element_type=jnp.float32)
+        vara_raw = ts2 - jnp.sum(TQ * TQ, axis=1)
+        vara = s2g * vara_raw
+        valid = vara_raw > 1e-6 * jnp.maximum(ts2, 1e-12)
+        t = jnp.where(valid & (vara > 1e-12),
+                      (ahat * ahat) / vara, 0.0) * mask
         i_loc = jnp.argmax(t)
         m_loc = t[i_loc]
         p_loc = t.shape[0]
@@ -130,8 +132,7 @@ def score_and_argmax_eig(
         t_rep = jax.lax.all_gather(t, SNP_AXIS, axis=0, tiled=True)
         return t_rep, i_glob, m_glob
 
-    return _sweep(Wt, U, s, Q, Py,
-                  jnp.asarray(sigma2_g, jnp.float32), tmask)
+    return _sweep(T, s, Q, z3, jnp.asarray(sigma2_g, jnp.float32), tmask)
 
 
 def gather_column(Wt: jax.Array, j: int, mesh: Mesh) -> jax.Array:
