@@ -11,6 +11,38 @@ from __future__ import annotations
 import os
 
 
+def ensure_n_devices(n_devices: int) -> list:
+    """Return ≥ n_devices JAX devices, re-initializing onto virtual CPU
+    devices if the current backend has too few.
+
+    Handles environments whose ``sitecustomize`` imports jax and
+    initializes a 1-chip accelerator backend at interpreter startup
+    (before any ``JAX_PLATFORMS``/``XLA_FLAGS`` override can take
+    effect): backends are torn down and rebuilt as an ``n_devices``-way
+    CPU platform via ``jax_num_cpu_devices``. Used by the driver's
+    ``dryrun_multichip`` entry; real chips are preferred when present.
+    """
+    import jax
+
+    devices = jax.devices()
+    if len(devices) >= n_devices:
+        return devices
+    import jax._src.xla_bridge as xb
+
+    xb._clear_backends()
+    if hasattr(xb.get_backend, "cache_clear"):
+        xb.get_backend.cache_clear()
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except Exception:
+        # older jax: only the XLA_FLAGS route exists; it was parsed at
+        # first backend init, so this may still come up short — caller
+        # asserts and reports the env-var recipe.
+        pass
+    return jax.devices()
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
