@@ -74,11 +74,14 @@ def blocked_cg(
     return X
 
 
-def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int):
+def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int, reorth: bool = False,
+             need_basis: bool = True):
     """Batched Lanczos: for each column z of Z run m steps, returning the
     tridiagonal coefficients (alphas (m, r), betas (m-1, r)) and the
-    initial norms. Uses the plain 3-term recurrence (no reorthogonal-
-    ization — adequate for quadrature use)."""
+    initial norms. ``reorth=False`` is the plain 3-term recurrence
+    (adequate for quadrature use); ``reorth=True`` fully reorthogonalizes
+    each step against the stored basis (needed when the basis is reused
+    for shifted SOLVES, where loss of orthogonality degrades accuracy)."""
     n, r = Z.shape
     alphas = np.zeros((m, r))
     betas = np.zeros((max(m - 1, 0), r))
@@ -86,20 +89,84 @@ def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int):
     V_prev = np.zeros_like(Z)
     V = Z / np.maximum(z_norm, 1e-300)[None, :]
     beta_prev = np.zeros(r)
-    basis = [V.copy()]
+    basis = [V.copy()] if (need_basis or reorth) else None
     for k in range(m):
         Hv = matvec_h(V)
         alpha = np.sum(V * Hv, axis=0)
         alphas[k] = alpha
         Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
+        if reorth:
+            Vb = np.stack(basis, axis=0)                  # (k+1, n, r)
+            coef = np.einsum("knr,nr->kr", Vb, Wv)
+            Wv = Wv - np.einsum("knr,kr->nr", Vb, coef)
         beta = np.linalg.norm(Wv, axis=0)
         if k < m - 1:
             betas[k] = beta
             V_prev = V
             V = Wv / np.maximum(beta, 1e-300)[None, :]
             beta_prev = beta
-            basis.append(V.copy())
+            if basis is not None:
+                basis.append(V.copy())
     return alphas, betas, z_norm, basis
+
+
+class ShiftedKrylov:
+    """One batched Lanczos pass on the UNSHIFTED kernel, reusable for
+    EVERY shift δ: the Krylov space of H(δ) = K + δI is independent of δ
+    (same basis V_m; tridiagonal becomes T_m + δI). One set of streamed
+    store matvecs therefore serves all of:
+
+      solve(δ)  ≈ (K+δI)⁻¹·Z      (FOM/CG-equivalent after m steps)
+      isqrt(δ)  ≈ (K+δI)^(-1/2)·Z  (Lanczos function application)
+      logdet(δ) ≈ SLQ log|K+δI|    (quadrature nodes shift to θ+δ)
+
+    This is what makes the REML δ-profile cheap: the grid + refinement
+    evaluate at ~35 shifts, and without the cache each evaluation re-ran
+    CG (up to cg_maxiter store passes) plus a fresh probe Lanczos.
+    """
+
+    def __init__(self, matvec_k: Matvec, Z: np.ndarray, m: int,
+                 reorth: bool = False):
+        Z = np.asarray(Z, dtype=np.float64)
+        n, r = Z.shape
+        m = min(m, n)
+        self.n, self.r, self.m = n, r, m
+        alphas, betas, z_norm, basis = _lanczos(matvec_k, Z, m, reorth=reorth)
+        self.z_norm = z_norm
+        self.V = np.stack(basis, axis=0)                  # (m, n, r)
+        self.w = np.empty((m, r))                         # Ritz values of K
+        self.Q = np.empty((r, m, m))                      # eigvecs of T per col
+        for j in range(r):
+            T = np.diag(alphas[:, j])
+            if m > 1:
+                T += np.diag(betas[:, j], 1) + np.diag(betas[:, j], -1)
+            w, Q = np.linalg.eigh(T)
+            self.w[:, j] = w
+            self.Q[j] = Q
+        self.Q0 = self.Q[:, 0, :].T                       # (m, r): first rows
+
+    @staticmethod
+    def cache_bytes(n: int, r: int, m: int) -> int:
+        return min(m, n) * n * r * 8
+
+    def _apply(self, fvals: np.ndarray) -> np.ndarray:
+        """f(K+δI)·Z from eigen-coordinate values fvals (m, r)."""
+        c = np.einsum("jkl,lj->kj", self.Q, fvals * self.Q0)
+        c *= self.z_norm[None, :]
+        return np.einsum("mnr,mr->nr", self.V, c)
+
+    def solve(self, delta: float) -> np.ndarray:
+        return self._apply(1.0 / np.maximum(self.w + delta, 1e-300))
+
+    def isqrt(self, delta: float) -> np.ndarray:
+        return self._apply(1.0 / np.sqrt(np.maximum(self.w + delta, 1e-300)))
+
+    def logdet(self, delta: float) -> float:
+        """SLQ estimate of log|K+δI| — requires Z to be the Hutchinson
+        probe block (Rademacher)."""
+        nodes = np.maximum(self.w + delta, 1e-300)
+        per_probe = np.sum((self.Q0**2) * np.log(nodes), axis=0)
+        return float(self.n * np.mean(per_probe))
 
 
 def _tridiag_eigh(alphas: np.ndarray, betas: np.ndarray):
@@ -157,7 +224,10 @@ def lanczos_isqrt_apply(matvec_h: Matvec, Z: np.ndarray, m: int = 40) -> np.ndar
 
 @dataclasses.dataclass
 class MatfreeContext:
-    """Shared state for one scan: the kernel matvec and common probes."""
+    """Shared state for one scan: the kernel matvec, common probes, and
+    the per-scan shift-invariant Krylov caches (K is FIXED for the whole
+    scan, so its Lanczos decompositions of the fixed probe blocks are
+    iteration- and δ-invariant)."""
 
     kernel_matvec: Matvec       # V ↦ K_norm·V  (normalized kernel)
     n: int
@@ -165,21 +235,41 @@ class MatfreeContext:
     lanczos_m: int = 40
     cg_tol: float = 1e-8
     cg_maxiter: int = 400
+    solve_m: int = 128          # Lanczos steps for cached shifted solves
+    cache_max_bytes: int = 2 << 30   # per-cache basis budget (V is m·n·r f64)
+    _logdet_sk: Optional[ShiftedKrylov] = dataclasses.field(
+        default=None, init=False, repr=False)
+    _isqrt_sk: Optional[ShiftedKrylov] = dataclasses.field(
+        default=None, init=False, repr=False)
 
     def h_matvec(self, delta: float) -> Matvec:
         return lambda V: self.kernel_matvec(V) + delta * V
 
+    def logdet(self, delta: float) -> float:
+        """log|K+δI| from the scan-wide probe Lanczos (built once)."""
+        if self._logdet_sk is None:
+            self._logdet_sk = ShiftedKrylov(
+                self.kernel_matvec, self.probes, self.lanczos_m)
+        return self._logdet_sk.logdet(delta)
 
-def reml_loglik_matfree(
-    ctx: MatfreeContext, delta: float, y: np.ndarray, X: np.ndarray,
-) -> tuple[float, float]:
-    """(LL(δ), yᵀP̃y) with the EMMA constant convention (reml_core)."""
-    X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
-    n, q = X.shape[0], X.shape[1]
+    def isqrt_probes(self, delta: float, probes: np.ndarray) -> np.ndarray:
+        """(K+δI)^(-1/2)·probes — cached when the probe block fits the
+        budget (probes are fixed across iterations; only δ moves)."""
+        if ShiftedKrylov.cache_bytes(*probes.shape, self.lanczos_m) \
+                > self.cache_max_bytes:
+            return lanczos_isqrt_apply(self.h_matvec(delta), probes,
+                                       m=self.lanczos_m)
+        if self._isqrt_sk is None or self._isqrt_sk.r != probes.shape[1]:
+            self._isqrt_sk = ShiftedKrylov(
+                self.kernel_matvec, probes, self.lanczos_m)
+        return self._isqrt_sk.isqrt(delta)
+
+
+def _ll_from_solution(y, X, Sol, logdetH):
+    """(LL, yᵀP̃y) from a solution block Sol ≈ H⁻¹·[X y] (EMMA constant
+    convention, reml_core)."""
+    n, q = X.shape
     nq = n - q
-    mv = ctx.h_matvec(delta)
-    B = np.column_stack([X, y])
-    Sol = blocked_cg(mv, B, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
     HiX, Hiy = Sol[:, :q], Sol[:, q]
     XtHiX = X.T @ HiX
     XtHiy = X.T @ Hiy
@@ -190,12 +280,22 @@ def reml_loglik_matfree(
     s2, ld2 = np.linalg.slogdet(X.T @ X)
     if s1 <= 0 or s2 <= 0:
         return -math.inf, yPy
-    logdetH = slq_logdet(mv, n, ctx.probes, m=ctx.lanczos_m)
     ll = 0.5 * (
         nq * math.log(nq / (2.0 * math.pi)) - nq - nq * math.log(yPy)
         - (logdetH + ld1 - ld2)
     )
     return ll, yPy
+
+
+def reml_loglik_matfree(
+    ctx: MatfreeContext, delta: float, y: np.ndarray, X: np.ndarray,
+) -> tuple[float, float]:
+    """(LL(δ), yᵀP̃y): exact blocked-CG solves + cached SLQ logdet."""
+    X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
+    mv = ctx.h_matvec(delta)
+    B = np.column_stack([X, y])
+    Sol = blocked_cg(mv, B, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
+    return _ll_from_solution(y, X, Sol, ctx.logdet(delta))
 
 
 def reml_maximize_matfree(
@@ -215,19 +315,34 @@ def reml_maximize_matfree(
         if llim >= ulim:
             llim, ulim = c - 2.0, c + 2.0
         ngrids = min(ngrids, 8)
+
+    # One reorthogonalized Lanczos pass on [X y] serves the WHOLE δ search
+    # (shift-invariant Krylov space) — vs one full CG per grid point.
+    Xi, _ = reml_core.independent_cols(np.asarray(X, np.float64))
+    B = np.column_stack([Xi, y])
+    if ShiftedKrylov.cache_bytes(*B.shape, ctx.solve_m) <= ctx.cache_max_bytes:
+        sk = ShiftedKrylov(ctx.kernel_matvec, B, m=ctx.solve_m, reorth=True)
+
+        def ll_of(d: float) -> float:
+            return _ll_from_solution(y, Xi, sk.solve(d), ctx.logdet(d))[0]
+    else:
+        def ll_of(d: float) -> float:
+            return reml_loglik_matfree(ctx, d, y, X)[0]
+
     grid = np.exp(np.linspace(llim, ulim, ngrids + 1))
-    lls = np.array([reml_loglik_matfree(ctx, d, y, X)[0] for d in grid])
+    lls = np.array([ll_of(d) for d in grid])
     i = int(np.argmax(lls))
     lo = grid[max(i - 1, 0)]
     hi = grid[min(i + 1, ngrids)]
     # golden-section refinement on log-delta
     import scipy.optimize as _opt
     res = _opt.minimize_scalar(
-        lambda ld: -reml_loglik_matfree(ctx, math.exp(ld), y, X)[0],
+        lambda ld: -ll_of(math.exp(ld)),
         bounds=(math.log(lo), math.log(hi)), method="bounded",
         options={"xatol": 1e-3},
     )
     delta = float(math.exp(res.x))
+    # final fit values at δ̂ use exact CG solves (decision-path accuracy)
     ll, yPy = reml_loglik_matfree(ctx, delta, y, X)
     nq = y.shape[0] - X.shape[1]
     s2g = yPy / nq
@@ -283,7 +398,7 @@ def score_sweep_matfree(
 
     rng = np.random.default_rng(12345)
     probes = rng.choice((-1.0, 1.0), size=(n, diag_probes))
-    HZp = lanczos_isqrt_apply(mv, probes, m=ctx.lanczos_m)
+    HZp = ctx.isqrt_probes(fit.delta, probes)
 
     # one streamed pass computes all per-SNP dot products; with an
     # incidence matrix the effective sweep columns are Z·w_j, so dots
