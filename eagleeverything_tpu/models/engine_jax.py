@@ -638,11 +638,15 @@ def forward_select(
     # from O(n²) to O(n·q); at big n U never exists on the host at all
     if Z is None:
         backend.set_eigenbasis(basis.device_basis())
-    else:
-        if basis.host_f64 is None:
-            raise NotImplementedError(
-                "Zmat designs above host_eigh_max_n are not supported yet")
+    elif basis.host_f64 is not None:
         backend.set_eigenbasis(Z.T @ basis.host_f64)
+    else:
+        # big-n Zmat: fold the incidence matrix into the device-resident
+        # eigenbasis on device (T_j = (Z·w_j)ᵀU = w_jᵀ·(ZᵀU); U never
+        # touches the host)
+        backend.set_eigenbasis(jnp.dot(
+            jnp.asarray(Z.T, dtype=jnp.float32), basis.device_basis(),
+            preferred_element_type=jnp.float32))
     qmax = -(-(X0.shape[1] + maxit + 1) // 8) * 8
 
     fit = reml_core.reml_maximize_diag(d_eig, y_star, Xs)

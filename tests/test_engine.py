@@ -167,3 +167,19 @@ def test_device_only_eigenbasis_matches_host(sim, oracle_res):
     res = engine_jax.forward_select(
         sim.y, _design(sim), _handle(sim), maxit=10, config=cfg)
     assert res.indices == oracle_res.indices
+
+
+def test_device_only_eigenbasis_with_zmat(sim):
+    """Zmat designs in the big-n regime: Zᵀ·U folds into the device
+    eigenbasis (U never on the host) and must match the host-f64 path."""
+    simz = simulate_dataset(n=100, p=600, n_qtl=2, seed=5, h2_qtl=0.45)
+    n = simz.y.shape[0]
+    Z = np.kron(np.eye(n), np.ones((2, 1)))
+    rng = np.random.default_rng(1)
+    y_rec = Z @ simz.y + 0.3 * rng.standard_normal(2 * n)
+    X0 = np.ones((2 * n, 1))
+    res_h = engine_jax.forward_select(y_rec, X0, _handle(simz), maxit=6, Z=Z)
+    cfg = EagleConfig(host_eigh_max_n=8)
+    res_d = engine_jax.forward_select(y_rec, X0, _handle(simz), maxit=6,
+                                      Z=Z, config=cfg)
+    assert res_d.indices == res_h.indices
