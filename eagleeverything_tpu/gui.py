@@ -51,8 +51,13 @@ img{max-width:100%%;border:1px solid #ddd;border-radius:6px}
 <pre id=amout>not run</pre></fieldset>
 <fieldset><legend>3. Results</legend>
 <button onclick="loadSummary()">Summary (Wald tests)</button>
-<button onclick="document.getElementById('manh').src='/api/plot.png?'+Date.now()">Manhattan plot</button>
-<pre id=sumout></pre><img id=manh></fieldset>
+<button onclick="drawManhattan()">Manhattan plot (interactive)</button>
+<button onclick="document.getElementById('manh').src='/api/plot.png?'+Date.now()">Manhattan plot (PNG)</button>
+<pre id=sumout></pre>
+<div id=manhwrap style="position:relative"></div>
+<div id=tip style="position:fixed;display:none;background:#222;color:#fff;
+padding:.3rem .5rem;border-radius:4px;font-size:.8rem;pointer-events:none;z-index:9"></div>
+<img id=manh></fieldset>
 <script>
 async function post(u,b){const r=await fetch(u,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(b)});return r.json()}
 async function readData(){
@@ -70,7 +75,112 @@ async function poll(){
 async function loadSummary(){
  const r=await (await fetch('/api/summary')).json();
  sumout.textContent=JSON.stringify(r,null,1); sumout.className=r.error?'err':''}
+async function drawManhattan(){
+ const d=await (await fetch('/api/plotdata')).json();
+ if(d.error){manhwrap.textContent='ERROR: '+d.error;return}
+ const W=980,H=360,L=55,B=40,T=18,R=12,pw=W-L-R,ph=H-B-T;
+ const xmax=Math.max(...d.x,1),ymax=Math.max(...d.t,1)*1.06;
+ const sx=v=>L+v/xmax*pw, sy=v=>T+ph-v/ymax*ph;
+ const cols=['#3b4cc0','#8ea0cc'];
+ let s='<svg width='+W+' height='+H+' style="border:1px solid #ddd;border-radius:6px;background:#fff">';
+ for(let g=0;g<=4;g++){const yv=ymax*g/4,y=sy(yv);
+  s+='<line x1='+L+' y1='+y+' x2='+(W-R)+' y2='+y+' stroke="#eee"/>'+
+     '<text x='+(L-6)+' y='+(y+4)+' font-size=10 text-anchor=end>'+yv.toFixed(1)+'</text>'}
+ for(let i=0;i<d.x.length;i++){
+  const sel=d.rank[i]>0, ch=d.change_it[i]>0;
+  s+='<circle cx='+sx(d.x[i]).toFixed(1)+' cy='+sy(d.t[i]).toFixed(1)+
+     ' r='+(sel?5:ch?3.4:2.4)+' fill="'+(sel?'#d7342f':ch?'#f09a38':cols[d.band[i]%2])+
+     '" data-i='+i+'/>';
+  if(sel)s+='<text x='+(sx(d.x[i])+5)+' y='+(sy(d.t[i])-5)+' font-size=10 fill="#d7342f">'+d.rank[i]+'</text>'}
+ for(let k=0;k<d.ticks.length;k++)
+  s+='<text x='+sx(d.ticks[k])+' y='+(H-B+16)+' font-size=10 text-anchor=middle>'+d.tick_labels[k]+'</text>';
+ s+='<text x='+(L+pw/2)+' y='+(H-6)+' font-size=11 text-anchor=middle>'+(d.ticks.length?'chromosome':'SNP index')+'</text>'+
+    '<text x=14 y='+(T+ph/2)+' font-size=11 text-anchor=middle transform="rotate(-90 14 '+(T+ph/2)+')">outlier statistic t</text></svg>';
+ manhwrap.innerHTML=s;
+ const svg=manhwrap.firstChild;
+ svg.addEventListener('mousemove',e=>{
+  const i=e.target.dataset?e.target.dataset.i:null;
+  if(i==null){tip.style.display='none';return}
+  const q=d;tip.style.display='block';
+  tip.style.left=(e.clientX+12)+'px';tip.style.top=(e.clientY+12)+'px';
+  tip.innerHTML=q.name[i]+'<br>chr '+q.chr[i]+' : '+q.pos[i]+'<br>t = '+q.t[i].toFixed(2)+
+   (q.change_it[i]>0?'<br>changed at iteration '+q.change_it[i]:'')+
+   (q.rank[i]>0?'<br><b>selected #'+q.rank[i]+'</b>':'')});
+ svg.addEventListener('mouseleave',()=>tip.style.display='none')}
 </script></body></html>"""
+
+
+def _plot_data(res, map_h, max_points: int = 20000) -> dict:
+    """Decimated per-SNP data for the interactive Manhattan (tooltips):
+    peak t over iterations, chromosome striping bands, iteration-of-change
+    (same rule as ``plot_am(highlight_changes=True)``), selected ranks.
+    Payload is capped: all selected/changed/top-t SNPs plus a uniform
+    background subsample."""
+    import numpy as np
+
+    stack = np.stack(res.outlier_stats)
+    t = stack.max(axis=0)
+    p = t.shape[0]
+    change_it = np.zeros(p, dtype=int)
+    if stack.shape[0] > 1:
+        diffs = np.abs(np.diff(stack, axis=0))
+        base = np.maximum(stack[0], 1.0)
+        changed = (diffs.max(axis=0) / base > 0.25) & (diffs.max(axis=0) > 1.0)
+        change_it = np.where(changed, diffs.argmax(axis=0) + 1, 0)
+
+    if map_h is not None:
+        chroms = np.asarray(map_h.chrom)
+        uniq = list(dict.fromkeys(chroms.tolist()))
+        x = np.empty(p)
+        band = np.empty(p, dtype=int)
+        ticks, tick_labels = [], []
+        offset = 0.0
+        for ci, c in enumerate(uniq):
+            m = chroms == c
+            pos = np.asarray(map_h.pos)[m].astype(float)
+            span = (pos.max() - pos.min() + 1) if m.sum() else 1.0
+            x[m] = offset + (pos - pos.min())
+            band[m] = ci
+            ticks.append(offset + span / 2)
+            tick_labels.append(str(c))
+            offset += span * 1.02
+        names = map_h.marker_names
+        chr_s = [str(c) for c in chroms]
+        pos_s = [int(v) for v in np.asarray(map_h.pos)]
+    else:
+        x = np.arange(p, dtype=float)
+        band = np.zeros(p, dtype=int)
+        ticks, tick_labels = [], []
+        names = res.marker_names or [f"snp{j}" for j in range(p)]
+        chr_s = ["-"] * p
+        pos_s = list(range(p))
+
+    keep = np.zeros(p, dtype=bool)
+    keep[list(res.indices)] = True
+    keep |= change_it > 0
+    if p > max_points:
+        k_top = max_points // 2
+        keep[np.argpartition(t, -k_top)[-k_top:]] = True
+        stride = max(1, p // (max_points - int(keep.sum())))
+        keep[::stride] = True
+    else:
+        keep[:] = True
+    idx = np.flatnonzero(keep)
+    rank = np.zeros(p, dtype=int)
+    for r, j in enumerate(res.indices):
+        rank[j] = r + 1
+    return {
+        "x": [round(float(v), 1) for v in x[idx]],
+        "t": [round(float(v), 3) for v in t[idx]],
+        "name": [str(names[j]) for j in idx],
+        "chr": [chr_s[j] for j in idx],
+        "pos": [pos_s[j] for j in idx],
+        "band": band[idx].tolist(),
+        "change_it": change_it[idx].tolist(),
+        "rank": rank[idx].tolist(),
+        "ticks": [round(float(v), 1) for v in ticks],
+        "tick_labels": tick_labels,
+    }
 
 
 def _json_out(handler, obj, code=200):
@@ -165,6 +275,14 @@ class _Handler(BaseHTTPRequestHandler):
                     "pct_var_explained": (100 * s.var_explained).tolist(),
                     "sigma2_g": s.sigma2_g, "sigma2_e": s.sigma2_e,
                 })
+            except Exception as e:
+                _json_out(self, {"error": f"{type(e).__name__}: {e}"})
+        elif self.path.startswith("/api/plotdata"):
+            try:
+                res = _STATE["result"]
+                if res is None:
+                    raise ValueError("run AM first")
+                _json_out(self, _plot_data(res, _STATE["map"]))
             except Exception as e:
                 _json_out(self, {"error": f"{type(e).__name__}: {e}"})
         elif self.path.startswith("/api/plot.png"):

@@ -63,6 +63,13 @@ def test_gui_full_workflow(server):
         assert "pvalue" in s
         png = _get(base + "/api/plot.png")
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # interactive Manhattan payload: aligned per-SNP arrays + selected
+        # ranks present (the tooltip data contract of drawManhattan())
+        pd = json.loads(_get(base + "/api/plotdata"))
+        assert len(pd["x"]) == len(pd["t"]) == len(pd["name"]) \
+            == len(pd["rank"]) == len(pd["change_it"])
+        assert max(pd["rank"]) == len(st["result"]["indices"])
+        assert pd["tick_labels"]  # map was loaded → chromosome ticks
 
 
 def test_gui_error_paths(server):
