@@ -237,6 +237,11 @@ class MatfreeContext:
     cg_maxiter: int = 400
     solve_m: int = 128          # Lanczos steps for cached shifted solves
     cache_max_bytes: int = 2 << 30   # per-cache basis budget (V is m·n·r f64)
+    # device-resident CG: (B, delta) -> X | None (engine_jax.TiledScan
+    # .device_cg partial'd with s0) — collapses the whole Krylov loop
+    # into one device dispatch when the genotype tiles are HBM-cached
+    device_solve: Optional[Callable[[np.ndarray, float],
+                                    Optional[np.ndarray]]] = None
     _logdet_sk: Optional[ShiftedKrylov] = dataclasses.field(
         default=None, init=False, repr=False)
     _isqrt_sk: Optional[ShiftedKrylov] = dataclasses.field(
@@ -244,6 +249,16 @@ class MatfreeContext:
 
     def h_matvec(self, delta: float) -> Matvec:
         return lambda V: self.kernel_matvec(V) + delta * V
+
+    def solve_block(self, delta: float, B: np.ndarray) -> np.ndarray:
+        """H(δ)⁻¹·B — one device dispatch when a device solver is wired,
+        else the streamed host CG."""
+        if self.device_solve is not None:
+            X = self.device_solve(B, delta)
+            if X is not None:
+                return X
+        return blocked_cg(self.h_matvec(delta), B,
+                          tol=self.cg_tol, maxiter=self.cg_maxiter)
 
     def logdet(self, delta: float) -> float:
         """log|K+δI| from the scan-wide probe Lanczos (built once)."""
@@ -292,10 +307,9 @@ def reml_loglik_matfree(
 ) -> tuple[float, float]:
     """(LL(δ), yᵀP̃y): exact blocked-CG solves + cached SLQ logdet."""
     X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
-    mv = ctx.h_matvec(delta)
     B = np.column_stack([X, y])
-    Sol = blocked_cg(mv, B, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
-    return _ll_from_solution(y, X, Sol, ctx.logdet(delta))
+    return _ll_from_solution(y, X, ctx.solve_block(delta, B),
+                             ctx.logdet(delta))
 
 
 def reml_maximize_matfree(
@@ -387,10 +401,9 @@ def score_sweep_matfree(
     """
     X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     n, q = X.shape
-    mv = ctx.h_matvec(fit.delta)
 
     B = np.column_stack([X, y])
-    Sol = blocked_cg(mv, B, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
+    Sol = ctx.solve_block(fit.delta, B)
     HiX, Hiy = Sol[:, :q], Sol[:, q]
     XtHiX = X.T @ HiX
     XtHiy = X.T @ Hiy
@@ -426,7 +439,7 @@ def score_sweep_matfree(
     Wtop = np.column_stack([column_f64(int(j)) for j in top])
     if Z is not None:
         Wtop = Z @ Wtop          # record-level effective columns
-    HiW = blocked_cg(mv, Wtop, tol=ctx.cg_tol, maxiter=ctx.cg_maxiter)
+    HiW = ctx.solve_block(fit.delta, Wtop)
     diag_exact = np.sum(Wtop * HiW, axis=0)
     Utop = U[top]
     proj_top = np.einsum("jq,qr,jr->j", Utop, XtHiX_inv, Utop)
@@ -498,11 +511,20 @@ def forward_select_matfree(
         def kernel_matvec(V):
             return Z @ backend.kernel_matvec(Z.T @ V) / s0
 
+    # without Z, the whole CG loop can run as one jitted device program
+    # (H on the raw WᵀW with s0 folded in); with Z the host transforms
+    # wrap the matvec, so the streamed host CG stays
+    device_solve = None
+    if Z is None and hasattr(backend, "device_cg"):
+        def device_solve(B, delta, _s0=s0):
+            return backend.device_cg(B, delta, _s0)
+
     rng = np.random.default_rng(4242)
     ctx = MatfreeContext(
         kernel_matvec=kernel_matvec, n=n,
         probes=rng.choice((-1.0, 1.0), size=(n, probes)),
         lanczos_m=lanczos_m,
+        device_solve=device_solve,
     )
 
     selected: list[int] = []

@@ -20,6 +20,7 @@ Zmat designs reduce to host-side transforms of the n×n algebra
 from __future__ import annotations
 
 
+import functools
 from typing import Iterator, Optional
 
 import numpy as np
@@ -228,6 +229,47 @@ def _pad_tile(tile: np.ndarray, tile_snps: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
+                   s0: jax.Array, tol: jax.Array, maxiter: int) -> jax.Array:
+    """Blocked CG for H·X = B, H = WᵀW/s0 + δI, fully on device.
+
+    Classic per-column CG with converged columns frozen (as in
+    bigscan.blocked_cg); one while_loop, two GEMMs per iteration."""
+
+    def matvec(V):
+        BV = jnp.dot(W, V, preferred_element_type=jnp.float32)
+        KV = jax.lax.dot_general(
+            W, BV, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return KV / s0 + delta * V
+
+    b_norm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return (k < maxiter) & jnp.any(rs > tol * tol * b_norm2)
+
+    def body(state):
+        X, R, P, rs, k = state
+        active = rs > tol * tol * b_norm2
+        HP = matvec(P)
+        pHp = jnp.sum(P * HP, axis=0)
+        alpha = jnp.where(active & (pHp > 0),
+                          rs / jnp.maximum(pHp, 1e-30), 0.0)
+        X = X + P * alpha[None, :]
+        R = R - HP * alpha[None, :]
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        P = R + P * beta[None, :]
+        return X, R, P, rs_new, k + 1
+
+    X0 = jnp.zeros_like(B)
+    rs0 = jnp.sum(B * B, axis=0)
+    X, _, _, _, _ = jax.lax.while_loop(cond, body, (X0, B, B, rs0, 0))
+    return X
+
+
 class TiledScan:
     """Single-device scan with host→device tile streaming and optional
     on-device W-tile caching (out-of-core path; reference: the per-iteration
@@ -410,6 +452,35 @@ class TiledScan:
         for _, _, w in self._device_tiles():
             acc = acc + kernels.kernel_matvec_tile(w, V_d)
         return np.asarray(acc, dtype=np.float64)
+
+    def _w_stack(self) -> Optional[jax.Array]:
+        """All W tiles as one device-resident (p_pad, n) array (padded rows
+        are W=0, inert under WᵀW·V). None when HBM caching is off."""
+        if not self.cache_device:
+            return None
+        if getattr(self, "_wstack", None) is None:
+            self._wstack = jnp.concatenate(
+                [w for _, _, w in self._device_tiles()], axis=0)
+        return self._wstack
+
+    def device_cg(self, B: np.ndarray, delta: float, s0: float,
+                  tol: float = 1e-6, maxiter: int = 400
+                  ) -> Optional[np.ndarray]:
+        """Solve (WᵀW/s0 + δI)·X = B with the ENTIRE CG loop in one jitted
+        device program (lax.while_loop) — the matrix-free engine's Krylov
+        iterations without one host↔device dispatch per matvec. Returns
+        None when the genotype tiles aren't device-cached (caller falls
+        back to the streamed host CG). f32 end-to-end, so tol is floored
+        at 1e-6; the host CG's matvec is f32 too, so the achievable
+        accuracy is the same (reference hot loop: SURVEY.md §3.3's
+        ``calculate_a_and_vara``-era Eigen solves, re-aimed at CG)."""
+        W = self._w_stack()
+        if W is None:
+            return None
+        X = _device_cg_jit(W, jnp.asarray(B, jnp.float32),
+                           jnp.float32(delta), jnp.float32(s0),
+                           jnp.float32(max(tol, 1e-6)), maxiter)
+        return np.asarray(X, dtype=np.float64)
 
     def sweep_dots(self, A: np.ndarray) -> np.ndarray:
         """Per-SNP dot products Wᵀ·A ((p, r)) via streamed tiles."""

@@ -48,6 +48,48 @@ def test_lanczos_isqrt(problem):
     np.testing.assert_allclose(approx, exact, rtol=1e-4, atol=1e-6)
 
 
+def test_shifted_krylov_all_functions(problem):
+    """One unshifted Lanczos pass must reproduce shifted solves, isqrt
+    applications, and SLQ logdets across a RANGE of shifts."""
+    K, _, rng = problem
+    n = K.shape[0]
+    w_K, U_K = np.linalg.eigh(K)
+
+    B = rng.standard_normal((n, 3))
+    sk = bigscan.ShiftedKrylov(lambda V: K @ V, B, m=n, reorth=True)
+    probes = rng.choice((-1.0, 1.0), size=(n, 96))
+    sk_p = bigscan.ShiftedKrylov(lambda V: K @ V, probes, m=40)
+    for delta in (0.05, 0.8, 12.0):
+        H = K + delta * np.eye(n)
+        np.testing.assert_allclose(sk.solve(delta), np.linalg.solve(H, B),
+                                   rtol=1e-6, atol=1e-8)
+        exact_isqrt = (U_K * (1.0 / np.sqrt(w_K + delta))[None, :]) @ (U_K.T @ B)
+        np.testing.assert_allclose(sk.isqrt(delta), exact_isqrt,
+                                   rtol=1e-5, atol=1e-7)
+        _, ld = np.linalg.slogdet(H)
+        # SLQ is stochastic: rel bound for large |ld|, abs floor for the
+        # small-|ld| shifts where relative error is ill-posed
+        assert sk_p.logdet(delta) == pytest.approx(ld, rel=0.05, abs=1.0)
+
+
+def test_device_cg_matches_host_cg():
+    """The one-dispatch jitted CG (engine_jax._device_cg_jit via
+    TiledScan.device_cg) must agree with the streamed host CG."""
+    sim = simulate_dataset(n=100, p=800, n_qtl=2, seed=9)
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((100, 4))
+    s0 = float(np.mean(np.sum(
+        (sim.geno.astype(np.float64) - 1.0) ** 2, axis=0)))  # rough scale
+    delta = 0.7
+    X_dev = backend.device_cg(B, delta, s0)
+    assert X_dev is not None
+    X_host = bigscan.blocked_cg(
+        lambda V: backend.kernel_matvec(V) / s0 + delta * V, B)
+    np.testing.assert_allclose(X_dev, X_host, rtol=5e-4, atol=5e-5)
+
+
 def test_matfree_reml_matches_exact(problem):
     K, H, rng = problem
     n = K.shape[0]
