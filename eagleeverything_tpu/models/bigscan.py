@@ -126,14 +126,24 @@ class ShiftedKrylov:
     """
 
     def __init__(self, matvec_k: Matvec, Z: np.ndarray, m: int,
-                 reorth: bool = False):
+                 reorth: bool = False, device_lanczos=None):
         Z = np.asarray(Z, dtype=np.float64)
         n, r = Z.shape
         m = min(m, n)
         self.n, self.r, self.m = n, r, m
-        alphas, betas, z_norm, basis = _lanczos(matvec_k, Z, m, reorth=reorth)
+        self._V_dev = None
+        dev = device_lanczos(Z, m, reorth) if device_lanczos else None
+        if dev is not None:
+            alphas, betas, z_norm, self._V_dev = dev   # padded-width arrays
+            m = alphas.shape[0]                        # may be < requested
+            self.m = m
+            alphas, betas, z_norm = alphas[:, :r], betas[:, :r], z_norm[:r]
+            self.V = None
+        else:
+            alphas, betas, z_norm, basis = _lanczos(matvec_k, Z, m,
+                                                    reorth=reorth)
+            self.V = np.stack(basis, axis=0)              # (m, n, r)
         self.z_norm = z_norm
-        self.V = np.stack(basis, axis=0)                  # (m, n, r)
         self.w = np.empty((m, r))                         # Ritz values of K
         self.Q = np.empty((r, m, m))                      # eigvecs of T per col
         for j in range(r):
@@ -153,6 +163,14 @@ class ShiftedKrylov:
         """f(K+δI)·Z from eigen-coordinate values fvals (m, r)."""
         c = np.einsum("jkl,lj->kj", self.Q, fvals * self.Q0)
         c *= self.z_norm[None, :]
+        if self._V_dev is not None:
+            import jax.numpy as jnp
+            r_pad = self._V_dev.shape[2]
+            c_pad = np.zeros((self.m, r_pad), dtype=np.float32)
+            c_pad[:, : self.r] = c
+            out = jnp.einsum("mnr,mr->nr", self._V_dev,
+                             jnp.asarray(c_pad))
+            return np.asarray(out, dtype=np.float64)[:, : self.r]
         return np.einsum("mnr,mr->nr", self.V, c)
 
     def solve(self, delta: float) -> np.ndarray:
@@ -242,6 +260,9 @@ class MatfreeContext:
     # into one device dispatch when the genotype tiles are HBM-cached
     device_solve: Optional[Callable[[np.ndarray, float],
                                     Optional[np.ndarray]]] = None
+    # device-resident Lanczos: (Z, m, reorth) -> (alphas, betas, z_norm,
+    # basis_dev) | None — ShiftedKrylov keeps the basis in HBM
+    device_lanczos: Optional[Callable] = None
     _logdet_sk: Optional[ShiftedKrylov] = dataclasses.field(
         default=None, init=False, repr=False)
     _isqrt_sk: Optional[ShiftedKrylov] = dataclasses.field(
@@ -264,7 +285,8 @@ class MatfreeContext:
         """log|K+δI| from the scan-wide probe Lanczos (built once)."""
         if self._logdet_sk is None:
             self._logdet_sk = ShiftedKrylov(
-                self.kernel_matvec, self.probes, self.lanczos_m)
+                self.kernel_matvec, self.probes, self.lanczos_m,
+                device_lanczos=self.device_lanczos)
         return self._logdet_sk.logdet(delta)
 
     def isqrt_probes(self, delta: float, probes: np.ndarray) -> np.ndarray:
@@ -276,7 +298,8 @@ class MatfreeContext:
                                        m=self.lanczos_m)
         if self._isqrt_sk is None or self._isqrt_sk.r != probes.shape[1]:
             self._isqrt_sk = ShiftedKrylov(
-                self.kernel_matvec, probes, self.lanczos_m)
+                self.kernel_matvec, probes, self.lanczos_m,
+                device_lanczos=self.device_lanczos)
         return self._isqrt_sk.isqrt(delta)
 
 
@@ -335,7 +358,8 @@ def reml_maximize_matfree(
     Xi, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     B = np.column_stack([Xi, y])
     if ShiftedKrylov.cache_bytes(*B.shape, ctx.solve_m) <= ctx.cache_max_bytes:
-        sk = ShiftedKrylov(ctx.kernel_matvec, B, m=ctx.solve_m, reorth=True)
+        sk = ShiftedKrylov(ctx.kernel_matvec, B, m=ctx.solve_m, reorth=True,
+                           device_lanczos=ctx.device_lanczos)
 
         def ll_of(d: float) -> float:
             return _ll_from_solution(y, Xi, sk.solve(d), ctx.logdet(d))[0]
@@ -514,10 +538,13 @@ def forward_select_matfree(
     # without Z, the whole CG loop can run as one jitted device program
     # (H on the raw WᵀW with s0 folded in); with Z the host transforms
     # wrap the matvec, so the streamed host CG stays
-    device_solve = None
+    device_solve = device_lanczos = None
     if Z is None and hasattr(backend, "device_cg"):
         def device_solve(B, delta, _s0=s0):
             return backend.device_cg(B, delta, _s0)
+
+        def device_lanczos(Zc, m, reorth, _s0=s0):
+            return backend.device_lanczos(Zc, m, reorth, _s0)
 
     rng = np.random.default_rng(4242)
     ctx = MatfreeContext(
@@ -525,6 +552,7 @@ def forward_select_matfree(
         probes=rng.choice((-1.0, 1.0), size=(n, probes)),
         lanczos_m=lanczos_m,
         device_solve=device_solve,
+        device_lanczos=device_lanczos,
     )
 
     selected: list[int] = []

@@ -270,6 +270,61 @@ def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
     return X
 
 
+@functools.partial(jax.jit, static_argnames=("m", "reorth"))
+def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
+                        m: int, reorth: bool):
+    """Batched Lanczos on the UNSHIFTED kernel K = WᵀW/s0, fully on device
+    (one fori_loop; basis kept in HBM). Returns (alphas (m,r),
+    betas (m-1,r), z_norm (r,), basis (m,n,r)) for bigscan.ShiftedKrylov."""
+    n, r = Z.shape
+
+    def matvec(V):
+        BV = jnp.dot(W, V, preferred_element_type=jnp.float32)
+        KV = jax.lax.dot_general(
+            W, BV, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return KV / s0
+
+    z_norm = jnp.linalg.norm(Z, axis=0)
+    V0 = Z / jnp.maximum(z_norm, 1e-30)[None, :]
+    basis = jnp.zeros((m + 1, n, r), jnp.float32).at[0].set(V0)
+    alphas = jnp.zeros((m, r), jnp.float32)
+    betas = jnp.zeros((m, r), jnp.float32)
+
+    def body(k, st):
+        basis, alphas, betas = st
+        V = basis[k]
+        km1 = jnp.maximum(k - 1, 0)
+        V_prev = jnp.where(k > 0, basis[km1], jnp.zeros_like(V))
+        beta_prev = jnp.where(k > 0, betas[km1], jnp.zeros((r,), jnp.float32))
+        Hv = matvec(V)
+        alpha = jnp.sum(V * Hv, axis=0)
+        Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
+        if reorth:
+            mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
+            coef = jnp.einsum("mnr,nr->mr", basis, Wv) * mask[:, None]
+            Wv = Wv - jnp.einsum("mnr,mr->nr", basis, coef)
+        beta = jnp.linalg.norm(Wv, axis=0)
+        Vn = Wv / jnp.maximum(beta, 1e-30)[None, :]
+        return (basis.at[k + 1].set(Vn), alphas.at[k].set(alpha),
+                betas.at[k].set(beta))
+
+    basis, alphas, betas = jax.lax.fori_loop(0, m, body,
+                                             (basis, alphas, betas))
+    return alphas, betas[: m - 1], z_norm, basis[:m]
+
+
+def _pad_cols8(B: np.ndarray) -> np.ndarray:
+    """Zero-pad trailing columns to a multiple of 8 so device programs
+    keyed on the RHS width don't recompile as the model grows one fixed
+    effect per iteration (zero columns are inert: zero norm → frozen)."""
+    r = B.shape[1]
+    r_pad = -(-r // 8) * 8
+    if r_pad == r:
+        return B
+    return np.pad(B, ((0, 0), (0, r_pad - r)))
+
+
 class TiledScan:
     """Single-device scan with host→device tile streaming and optional
     on-device W-tile caching (out-of-core path; reference: the per-iteration
@@ -477,10 +532,26 @@ class TiledScan:
         W = self._w_stack()
         if W is None:
             return None
-        X = _device_cg_jit(W, jnp.asarray(B, jnp.float32),
+        r = B.shape[1]
+        X = _device_cg_jit(W, jnp.asarray(_pad_cols8(B), jnp.float32),
                            jnp.float32(delta), jnp.float32(s0),
                            jnp.float32(max(tol, 1e-6)), maxiter)
-        return np.asarray(X, dtype=np.float64)
+        return np.asarray(X, dtype=np.float64)[:, :r]
+
+    def device_lanczos(self, Z: np.ndarray, m: int, reorth: bool,
+                       s0: float):
+        """One-dispatch batched Lanczos on K = WᵀW/s0 (device-resident
+        basis). Returns (alphas, betas, z_norm — host f64; basis — device
+        (m,n,r) f32) or None when tiles aren't HBM-cached. Columns are
+        zero-padded to a multiple of 8 (inert) to bound recompiles."""
+        W = self._w_stack()
+        if W is None:
+            return None
+        a, b, zn, basis = _device_lanczos_jit(
+            W, jnp.asarray(_pad_cols8(Z), jnp.float32), jnp.float32(s0),
+            min(m, self.src.n), bool(reorth))
+        return (np.asarray(a, np.float64), np.asarray(b, np.float64),
+                np.asarray(zn, np.float64), basis)
 
     def sweep_dots(self, A: np.ndarray) -> np.ndarray:
         """Per-SNP dot products Wᵀ·A ((p, r)) via streamed tiles."""
