@@ -16,6 +16,21 @@ from eagleeverything_tpu.api.read import MapHandle
 from eagleeverything_tpu.models.oracle import AMResult
 
 
+def change_iterations(outlier_stats) -> np.ndarray:
+    """Iteration at which each SNP's statistic substantially changed
+    (0 = never): >25% of the SNP's initial statistic AND >1.0 absolute —
+    the LD partners of selected markers, not the global re-conditioning
+    ripple. (Reference PlotAM's iteration coloring.) Shared by the
+    matplotlib plot and the GUI's interactive payload."""
+    stack = np.stack(outlier_stats)
+    if stack.shape[0] < 2:
+        return np.zeros(stack.shape[1], dtype=int)
+    diffs = np.abs(np.diff(stack, axis=0))  # (its-1, p)
+    base = np.maximum(stack[0], 1.0)
+    changed = (diffs.max(axis=0) / base > 0.25) & (diffs.max(axis=0) > 1.0)
+    return np.where(changed, diffs.argmax(axis=0) + 1, 0)
+
+
 def plot_am(
     res: AMResult,
     map: Optional[MapHandle] = None,
@@ -80,15 +95,7 @@ def plot_am(
         # is more than one iteration
         change_it = None
         if highlight_changes and len(res.outlier_stats) > 1 and itnum is None:
-            stack = np.stack(res.outlier_stats)
-            diffs = np.abs(np.diff(stack, axis=0))  # (its-1, p)
-            # substantial changes only (>25% of the SNP's initial statistic
-            # and non-trivial absolute size): the LD partners of selected
-            # markers, not the global re-conditioning ripple
-            base = np.maximum(stack[0], 1.0)
-            rel = diffs.max(axis=0) / base
-            changed = (rel > 0.25) & (diffs.max(axis=0) > 1.0)
-            change_it = np.where(changed, diffs.argmax(axis=0) + 1, 0)
+            change_it = change_iterations(res.outlier_stats)
 
         if map is not None:
             chroms = np.asarray(map.chrom)

@@ -75,6 +75,8 @@ async function poll(){
 async function loadSummary(){
  const r=await (await fetch('/api/summary')).json();
  sumout.textContent=JSON.stringify(r,null,1); sumout.className=r.error?'err':''}
+function esc(s){return String(s).replace(/[&<>"']/g,
+ c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]))}
 async function drawManhattan(){
  const d=await (await fetch('/api/plotdata')).json();
  if(d.error){manhwrap.textContent='ERROR: '+d.error;return}
@@ -93,7 +95,7 @@ async function drawManhattan(){
      '" data-i='+i+'/>';
   if(sel)s+='<text x='+(sx(d.x[i])+5)+' y='+(sy(d.t[i])-5)+' font-size=10 fill="#d7342f">'+d.rank[i]+'</text>'}
  for(let k=0;k<d.ticks.length;k++)
-  s+='<text x='+sx(d.ticks[k])+' y='+(H-B+16)+' font-size=10 text-anchor=middle>'+d.tick_labels[k]+'</text>';
+  s+='<text x='+sx(d.ticks[k])+' y='+(H-B+16)+' font-size=10 text-anchor=middle>'+esc(d.tick_labels[k])+'</text>';
  s+='<text x='+(L+pw/2)+' y='+(H-6)+' font-size=11 text-anchor=middle>'+(d.ticks.length?'chromosome':'SNP index')+'</text>'+
     '<text x=14 y='+(T+ph/2)+' font-size=11 text-anchor=middle transform="rotate(-90 14 '+(T+ph/2)+')">outlier statistic t</text></svg>';
  manhwrap.innerHTML=s;
@@ -103,7 +105,7 @@ async function drawManhattan(){
   if(i==null){tip.style.display='none';return}
   const q=d;tip.style.display='block';
   tip.style.left=(e.clientX+12)+'px';tip.style.top=(e.clientY+12)+'px';
-  tip.innerHTML=q.name[i]+'<br>chr '+q.chr[i]+' : '+q.pos[i]+'<br>t = '+q.t[i].toFixed(2)+
+  tip.innerHTML=esc(q.name[i])+'<br>chr '+esc(q.chr[i])+' : '+esc(q.pos[i])+'<br>t = '+q.t[i].toFixed(2)+
    (q.change_it[i]>0?'<br>changed at iteration '+q.change_it[i]:'')+
    (q.rank[i]>0?'<br><b>selected #'+q.rank[i]+'</b>':'')});
  svg.addEventListener('mouseleave',()=>tip.style.display='none')}
@@ -118,15 +120,11 @@ def _plot_data(res, map_h, max_points: int = 20000) -> dict:
     background subsample."""
     import numpy as np
 
-    stack = np.stack(res.outlier_stats)
-    t = stack.max(axis=0)
+    from eagleeverything_tpu.api.plot import change_iterations
+
+    t = np.max(np.stack(res.outlier_stats), axis=0)
     p = t.shape[0]
-    change_it = np.zeros(p, dtype=int)
-    if stack.shape[0] > 1:
-        diffs = np.abs(np.diff(stack, axis=0))
-        base = np.maximum(stack[0], 1.0)
-        changed = (diffs.max(axis=0) / base > 0.25) & (diffs.max(axis=0) > 1.0)
-        change_it = np.where(changed, diffs.argmax(axis=0) + 1, 0)
+    change_it = change_iterations(res.outlier_stats)
 
     if map_h is not None:
         chroms = np.asarray(map_h.chrom)
@@ -161,8 +159,10 @@ def _plot_data(res, map_h, max_points: int = 20000) -> dict:
     if p > max_points:
         k_top = max_points // 2
         keep[np.argpartition(t, -k_top)[-k_top:]] = True
-        stride = max(1, p // (max_points - int(keep.sum())))
-        keep[::stride] = True
+        budget = max_points - int(keep.sum())
+        if budget > 0:  # background subsample only if room remains
+            stride = max(1, -(-p // budget))  # ceil: never exceed budget
+            keep[::stride] = True
     else:
         keep[:] = True
     idx = np.flatnonzero(keep)

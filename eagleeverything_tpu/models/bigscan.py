@@ -89,14 +89,18 @@ def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int, reorth: bool = False,
     V_prev = np.zeros_like(Z)
     V = Z / np.maximum(z_norm, 1e-300)[None, :]
     beta_prev = np.zeros(r)
-    basis = [V.copy()] if (need_basis or reorth) else None
+    # preallocated basis buffer: reorthogonalization works on views
+    # (basis[:k+1]) with no per-step copies
+    basis = np.empty((m, n, r)) if (need_basis or reorth) else None
+    if basis is not None:
+        basis[0] = V
     for k in range(m):
         Hv = matvec_h(V)
         alpha = np.sum(V * Hv, axis=0)
         alphas[k] = alpha
         Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
         if reorth:
-            Vb = np.stack(basis, axis=0)                  # (k+1, n, r)
+            Vb = basis[: k + 1]                           # view, no copy
             coef = np.einsum("knr,nr->kr", Vb, Wv)
             Wv = Wv - np.einsum("knr,kr->nr", Vb, coef)
         beta = np.linalg.norm(Wv, axis=0)
@@ -106,7 +110,7 @@ def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int, reorth: bool = False,
             V = Wv / np.maximum(beta, 1e-300)[None, :]
             beta_prev = beta
             if basis is not None:
-                basis.append(V.copy())
+                basis[k + 1] = V
     return alphas, betas, z_norm, basis
 
 
@@ -126,7 +130,8 @@ class ShiftedKrylov:
     """
 
     def __init__(self, matvec_k: Matvec, Z: np.ndarray, m: int,
-                 reorth: bool = False, device_lanczos=None):
+                 reorth: bool = False, device_lanczos=None,
+                 need_basis: bool = True):
         Z = np.asarray(Z, dtype=np.float64)
         n, r = Z.shape
         m = min(m, n)
@@ -134,15 +139,18 @@ class ShiftedKrylov:
         self._V_dev = None
         dev = device_lanczos(Z, m, reorth) if device_lanczos else None
         if dev is not None:
-            alphas, betas, z_norm, self._V_dev = dev   # padded-width arrays
+            alphas, betas, z_norm, V_dev = dev         # padded-width arrays
+            # logdet-only users (need_basis=False) drop the (m,n,r) basis
+            # immediately — quadrature needs only w/Q0/z_norm
+            self._V_dev = V_dev if need_basis else None
             m = alphas.shape[0]                        # may be < requested
             self.m = m
             alphas, betas, z_norm = alphas[:, :r], betas[:, :r], z_norm[:r]
             self.V = None
         else:
-            alphas, betas, z_norm, basis = _lanczos(matvec_k, Z, m,
-                                                    reorth=reorth)
-            self.V = np.stack(basis, axis=0)              # (m, n, r)
+            alphas, betas, z_norm, basis = _lanczos(
+                matvec_k, Z, m, reorth=reorth, need_basis=need_basis)
+            self.V = basis if need_basis else None        # (m, n, r)
         self.z_norm = z_norm
         self.w = np.empty((m, r))                         # Ritz values of K
         self.Q = np.empty((r, m, m))                      # eigvecs of T per col
@@ -210,7 +218,7 @@ def slq_logdet(
     """log|H| ≈ (n/r)·Σ_i Σ_k τ²_{ik} log θ_{ik} (Hutchinson + Lanczos
     quadrature). ``probes`` (n, r) are caller-provided Rademacher vectors
     — pass the SAME probes across δ/candidate evaluations."""
-    alphas, betas, _, _ = _lanczos(matvec_h, probes, m)
+    alphas, betas, _, _ = _lanczos(matvec_h, probes, m, need_basis=False)
     theta, tau0 = _tridiag_eigh(alphas, betas)
     theta = np.maximum(theta, 1e-300)
     per_probe = np.sum(tau0 * np.log(theta), axis=0)
@@ -255,17 +263,18 @@ class MatfreeContext:
     cg_maxiter: int = 400
     solve_m: int = 128          # Lanczos steps for cached shifted solves
     cache_max_bytes: int = 2 << 30   # per-cache basis budget (V is m·n·r f64)
-    # device-resident CG: (B, delta) -> X | None (engine_jax.TiledScan
-    # .device_cg partial'd with s0) — collapses the whole Krylov loop
-    # into one device dispatch when the genotype tiles are HBM-cached
-    device_solve: Optional[Callable[[np.ndarray, float],
-                                    Optional[np.ndarray]]] = None
+    # device-resident CG: (B, delta, tol, maxiter) -> X | None
+    # (engine_jax.TiledScan.device_cg partial'd with s0) — collapses the
+    # whole Krylov loop into one device dispatch when tiles are HBM-cached
+    device_solve: Optional[Callable[..., Optional[np.ndarray]]] = None
     # device-resident Lanczos: (Z, m, reorth) -> (alphas, betas, z_norm,
     # basis_dev) | None — ShiftedKrylov keeps the basis in HBM
     device_lanczos: Optional[Callable] = None
     _logdet_sk: Optional[ShiftedKrylov] = dataclasses.field(
         default=None, init=False, repr=False)
     _isqrt_sk: Optional[ShiftedKrylov] = dataclasses.field(
+        default=None, init=False, repr=False)
+    _isqrt_probes_ref: Optional[np.ndarray] = dataclasses.field(
         default=None, init=False, repr=False)
 
     def h_matvec(self, delta: float) -> Matvec:
@@ -275,31 +284,38 @@ class MatfreeContext:
         """H(δ)⁻¹·B — one device dispatch when a device solver is wired,
         else the streamed host CG."""
         if self.device_solve is not None:
-            X = self.device_solve(B, delta)
+            X = self.device_solve(B, delta, self.cg_tol, self.cg_maxiter)
             if X is not None:
                 return X
         return blocked_cg(self.h_matvec(delta), B,
                           tol=self.cg_tol, maxiter=self.cg_maxiter)
 
     def logdet(self, delta: float) -> float:
-        """log|K+δI| from the scan-wide probe Lanczos (built once)."""
+        """log|K+δI| from the scan-wide probe Lanczos (built once;
+        quadrature needs only the tridiagonal — no basis is retained, so
+        this never allocates an (m,n,r) buffer)."""
         if self._logdet_sk is None:
             self._logdet_sk = ShiftedKrylov(
                 self.kernel_matvec, self.probes, self.lanczos_m,
-                device_lanczos=self.device_lanczos)
+                device_lanczos=self.device_lanczos, need_basis=False)
         return self._logdet_sk.logdet(delta)
 
     def isqrt_probes(self, delta: float, probes: np.ndarray) -> np.ndarray:
         """(K+δI)^(-1/2)·probes — cached when the probe block fits the
-        budget (probes are fixed across iterations; only δ moves)."""
+        budget (probes are fixed across iterations; only δ moves). The
+        cache is validated against the ACTUAL probe block, not just its
+        shape — a different block rebuilds it."""
         if ShiftedKrylov.cache_bytes(*probes.shape, self.lanczos_m) \
                 > self.cache_max_bytes:
             return lanczos_isqrt_apply(self.h_matvec(delta), probes,
                                        m=self.lanczos_m)
-        if self._isqrt_sk is None or self._isqrt_sk.r != probes.shape[1]:
+        if self._isqrt_sk is None or self._isqrt_probes_ref is None \
+                or self._isqrt_probes_ref.shape != probes.shape \
+                or not np.array_equal(self._isqrt_probes_ref, probes):
             self._isqrt_sk = ShiftedKrylov(
                 self.kernel_matvec, probes, self.lanczos_m,
                 device_lanczos=self.device_lanczos)
+            self._isqrt_probes_ref = probes
         return self._isqrt_sk.isqrt(delta)
 
 
@@ -382,7 +398,9 @@ def reml_maximize_matfree(
     delta = float(math.exp(res.x))
     # final fit values at δ̂ use exact CG solves (decision-path accuracy)
     ll, yPy = reml_loglik_matfree(ctx, delta, y, X)
-    nq = y.shape[0] - X.shape[1]
+    # nq uses the RANK of X (independent_cols-reduced), matching the
+    # n−q convention of the LL itself — collinear columns don't inflate σ²
+    nq = y.shape[0] - Xi.shape[1]
     s2g = yPy / nq
     return reml_core.RemlResult(delta=delta, loglik=ll, sigma2_g=s2g,
                                 sigma2_e=delta * s2g)
@@ -540,8 +558,9 @@ def forward_select_matfree(
     # wrap the matvec, so the streamed host CG stays
     device_solve = device_lanczos = None
     if Z is None and hasattr(backend, "device_cg"):
-        def device_solve(B, delta, _s0=s0):
-            return backend.device_cg(B, delta, _s0)
+        def device_solve(B, delta, tol, maxiter, _s0=s0):
+            return backend.device_cg(B, delta, _s0, tol=tol,
+                                     maxiter=maxiter)
 
         def device_lanczos(Zc, m, reorth, _s0=s0):
             return backend.device_lanczos(Zc, m, reorth, _s0)

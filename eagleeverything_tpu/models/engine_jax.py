@@ -359,6 +359,14 @@ class TiledScan:
         )
 
     def _device_tiles(self) -> Iterator[tuple[int, int, jax.Array]]:
+        if getattr(self, "_wstack", None) is not None:
+            # the W stack superseded the per-tile cache (same bytes once,
+            # not twice) — serve tiles as row slices of it
+            off = 0
+            for j0, b in self._wstack_meta:
+                yield j0, b, self._wstack[off : off + self.tile_snps]
+                off += self.tile_snps
+            return
         if self._wcache is not None:
             yield from self._wcache
             return
@@ -510,12 +518,18 @@ class TiledScan:
 
     def _w_stack(self) -> Optional[jax.Array]:
         """All W tiles as one device-resident (p_pad, n) array (padded rows
-        are W=0, inert under WᵀW·V). None when HBM caching is off."""
+        are W=0, inert under WᵀW·V). None when HBM caching is off. The
+        stack REPLACES the per-tile cache (transient 2× during the
+        concatenate, steady-state 1×); _device_tiles then yields slices."""
         if not self.cache_device:
             return None
         if getattr(self, "_wstack", None) is None:
-            self._wstack = jnp.concatenate(
-                [w for _, _, w in self._device_tiles()], axis=0)
+            tiles = list(self._device_tiles())
+            meta = [(j0, b) for j0, b, _ in tiles]
+            stack = jnp.concatenate([w for _, _, w in tiles], axis=0)
+            del tiles
+            self._wcache = None
+            self._wstack, self._wstack_meta = stack, meta
         return self._wstack
 
     def device_cg(self, B: np.ndarray, delta: float, s0: float,

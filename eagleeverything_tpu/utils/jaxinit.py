@@ -27,18 +27,21 @@ def ensure_n_devices(n_devices: int) -> list:
     devices = jax.devices()
     if len(devices) >= n_devices:
         return devices
-    import jax._src.xla_bridge as xb
-
-    xb._clear_backends()
-    if hasattr(xb.get_backend, "cache_clear"):
-        xb.get_backend.cache_clear()
-    jax.config.update("jax_platforms", "cpu")
+    # NOTE: tears down live backends — any device arrays created before
+    # this call become invalid. Only safe at process start (the dryrun
+    # entry), never mid-computation.
     try:
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        if hasattr(xb.get_backend, "cache_clear"):
+            xb.get_backend.cache_clear()
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", n_devices)
     except Exception:
-        # older jax: only the XLA_FLAGS route exists; it was parsed at
-        # first backend init, so this may still come up short — caller
-        # asserts and reports the env-var recipe.
+        # private-API drift in a future jax, or an older jax without
+        # jax_num_cpu_devices: fall through — the caller asserts on the
+        # device count and reports the XLA_FLAGS env-var recipe.
         pass
     return jax.devices()
 
