@@ -172,8 +172,14 @@ class GenotypeStore:
             "n": int(n), "p": int(p), "shard_offsets": offsets,
             "source": source, "missing": MISSING,
         }
-        with open(os.path.join(dir, _MANIFEST), "w") as f:
+        # write-then-rename: the manifest is the store's commit record
+        # (written LAST, after all shards), so a killed ingest leaves a
+        # directory that GenotypeStore.open refuses rather than a torn
+        # manifest (SURVEY.md §6.3 restartable-ingest contract)
+        tmp = os.path.join(dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(dir, _MANIFEST))
 
     # ---------------- access ----------------
 

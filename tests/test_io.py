@@ -113,6 +113,19 @@ def test_store_roundtrip(sim, tmp_path):
     assert (seen == 1).all()
 
 
+def test_store_partial_ingest_detected(sim, tmp_path):
+    """A killed ingest must not look like a valid store: the manifest is
+    the commit record (written last, atomically), so a directory with
+    shards but no manifest is refused by open()."""
+    import os
+    import pytest
+    d = str(tmp_path / "store")
+    GenotypeStore.create_from_dense(d, sim.geno, n_shards=2)
+    os.remove(os.path.join(d, "manifest.json"))  # simulate kill-before-commit
+    with pytest.raises(FileNotFoundError):
+        GenotypeStore.open(d)
+
+
 def test_store_from_row_blocks(sim, tmp_path):
     """Out-of-core blocked transpose (createM→createMt analog)."""
     d = str(tmp_path / "store2")
