@@ -132,6 +132,31 @@ def test_matfree_forward_select_matches_exact_engine():
                                rtol=0.02)  # SLQ-noise tolerance
 
 
+def test_matfree_sharded_device_krylov():
+    """Matfree over a (1,8) SNP-sharded mesh: the W stack keeps its GSPMD
+    sharding through concatenate, so the one-dispatch CG/Lanczos programs
+    are partitioned across devices (psum inserted by XLA) — selection must
+    match the exact engine."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    sim = simulate_dataset(n=110, p=1024, n_qtl=2, seed=17, h2_qtl=0.5)
+    X0 = np.ones((110, 1))
+    from eagleeverything_tpu.api.read import GenoHandle
+    handle = GenoHandle(n=110, p=1024, source="<mshard>", geno=sim.geno)
+    exact = engine_jax.forward_select(sim.y, X0, handle, maxit=4)
+
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig(mesh_shape=(1, 8)))
+    assert backend._tile_sharding is not None
+    mf = bigscan.forward_select_matfree(
+        sim.y, X0, backend, maxit=4, probes=32, diag_probes=96,
+        exact_topk=32,
+        column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)))
+    assert backend._w_stack().sharding.spec[0] == "snp"
+    assert mf.indices == exact.indices
+
+
 def test_matfree_with_zmat_matches_exact():
     """Z incidence designs through the matrix-free path (K_eff = Z·K·Zᵀ
     reached via wrapped matvecs) reproduce the exact engine."""
