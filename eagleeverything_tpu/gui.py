@@ -81,7 +81,7 @@ async function drawManhattan(){
  const d=await (await fetch('/api/plotdata')).json();
  if(d.error){manhwrap.textContent='ERROR: '+d.error;return}
  const W=980,H=360,L=55,B=40,T=18,R=12,pw=W-L-R,ph=H-B-T;
- const xmax=Math.max(...d.x,1),ymax=Math.max(...d.t,1)*1.06;
+ const xmax=d.x.reduce((a,b)=>a>b?a:b,1),ymax=d.t.reduce((a,b)=>a>b?a:b,1)*1.06;
  const sx=v=>L+v/xmax*pw, sy=v=>T+ph-v/ymax*ph;
  const cols=['#3b4cc0','#8ea0cc'];
  let s='<svg width='+W+' height='+H+' style="border:1px solid #ddd;border-radius:6px;background:#fff">';
@@ -155,16 +155,25 @@ def _plot_data(res, map_h, max_points: int = 20000) -> dict:
 
     keep = np.zeros(p, dtype=bool)
     keep[list(res.indices)] = True
-    keep |= change_it > 0
-    if p > max_points:
-        k_top = max_points // 2
-        keep[np.argpartition(t, -k_top)[-k_top:]] = True
+    if p <= max_points:
+        keep[:] = True
+    else:
+        # priority fill under a hard cap: selected > changed (by t) >
+        # top-t > uniform background — a scan where half the genome is
+        # change-flagged must not ship half the genome
         budget = max_points - int(keep.sum())
-        if budget > 0:  # background subsample only if room remains
+        changed = np.flatnonzero(change_it > 0)
+        if changed.size:
+            take = changed[np.argsort(-t[changed], kind="stable")[:budget]]
+            keep[take] = True
+            budget = max_points - int(keep.sum())
+        if budget > 0:
+            k_top = min(budget, max_points // 2)
+            keep[np.argpartition(t, -k_top)[-k_top:]] = True
+            budget = max_points - int(keep.sum())
+        if budget > 0:
             stride = max(1, -(-p // budget))  # ceil: never exceed budget
             keep[::stride] = True
-    else:
-        keep[:] = True
     idx = np.flatnonzero(keep)
     rank = np.zeros(p, dtype=int)
     for r, j in enumerate(res.indices):

@@ -72,6 +72,25 @@ def test_gui_full_workflow(server):
         assert pd["tick_labels"]  # map was loaded → chromosome ticks
 
 
+def test_plotdata_cap_enforced():
+    """The interactive-plot payload honors max_points even when the whole
+    genome is change-flagged (priority fill: selected > changed > top-t >
+    background)."""
+    import numpy as np
+    from eagleeverything_tpu.gui import _plot_data
+    from eagleeverything_tpu.models.oracle import AMResult
+    p = 60000
+    rng = np.random.default_rng(0)
+    for stats in ([rng.uniform(0, 50, p), rng.uniform(0, 50, p)],
+                  [np.zeros(p)]):
+        res = AMResult(indices=[5, 70], extbic_path=[1.0],
+                       outlier_stats=stats, loglik_path=[0.0], sigma2_g=1,
+                       sigma2_e=1, delta=1, n=100, p=p, lam_ebic=1.0)
+        d = _plot_data(res, None, max_points=20000)
+        assert len(d["x"]) <= 20002
+        assert max(d["rank"]) == 2  # selected markers always survive
+
+
 def test_gui_error_paths(server):
     base, _ = server
     r = _post(base + "/api/read", {"geno": "/nope", "pheno": "/nope"})
