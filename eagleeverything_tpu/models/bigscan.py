@@ -615,6 +615,8 @@ def forward_select_matfree(
         if cand in selected:
             cand = int(np.argmax(t))
         outlier_stats.append(t)
+        if t[cand] <= 0.0:
+            break  # exhausted (matches oracle/engine stop)
 
         w_col = column_f64(cand) if column_f64 is not None else None
         if w_col is None:

@@ -825,6 +825,11 @@ def forward_select(
                 t[selected] = 0.0
                 cand = int(np.argmax(t))
         outlier_stats.append(t.astype(np.float64))
+        if t[cand] <= 0.0:
+            # exhausted: every remaining SNP is selected or zero-variance
+            # (the collective argmax returns index 0 with max 0 here) —
+            # matches the oracle's stop, incl. under fixit/maxit > p
+            break
 
         w_col = _impute_column_f64(src.column(cand))
         x_col = Z @ w_col if Z is not None else w_col
@@ -946,6 +951,9 @@ def forward_select_multi(
             t_vec[s.selected] = 0.0
             s.outlier.append(t_vec.astype(np.float64))
             cand = int(np.argmax(t_vec))
+            if t_vec[cand] <= 0.0:
+                s.active = False  # exhausted for this trait
+                continue
             w_col = _impute_column_f64(src.column(cand))
             Xs_new = np.hstack([s.Xs, (U_eig.T @ w_col)[:, None]])
             fit_new = reml_core.reml_maximize_diag(d_eig, ystars[s.t], Xs_new)

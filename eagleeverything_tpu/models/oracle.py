@@ -100,7 +100,12 @@ def fit_reml(y: np.ndarray, X: np.ndarray, K: np.ndarray) -> reml_core.RemlResul
 
 
 def projector(X: np.ndarray, K: np.ndarray, delta: float) -> np.ndarray:
-    """P̃ = H⁻¹ − H⁻¹X(XᵀH⁻¹X)⁻¹XᵀH⁻¹ with H = K + δI (dense, f64)."""
+    """P̃ = H⁻¹ − H⁻¹X(XᵀH⁻¹X)⁻¹XᵀH⁻¹ with H = K + δI (dense, f64).
+
+    X is reduced to independent columns first (same guard as every
+    engine-side X consumer) — a collinear design must degrade identically
+    here and there, or the oracle stops being the parity reference."""
+    X, _ = reml_core.independent_cols(X)
     n = K.shape[0]
     H = K + delta * np.eye(n)
     Hinv = np.linalg.inv(H)
@@ -184,6 +189,11 @@ def forward_select(
         t[selected] = 0.0
         outlier_stats.append(t)
         cand = int(np.argmax(t))  # ties → lowest index (np.argmax contract)
+        if t[cand] <= 0.0:
+            # exhausted: every remaining SNP is already selected or has
+            # zero score variance — nothing scoreable left (also guards
+            # fixit/maxit > p from re-selecting duplicates)
+            break
         X_new = np.hstack([X, W_eff[:, cand : cand + 1]])
         fit_new = fit_reml(y, X_new, K_eff)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p, len(selected) + 1, lam_ebic)

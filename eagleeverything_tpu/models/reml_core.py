@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Optional
 
 import numpy as np
 from scipy import optimize as _opt
@@ -122,8 +123,17 @@ def spectral_inputs(
     X = np.asarray(X, dtype=np.float64)
     K = np.asarray(K, dtype=np.float64)
     n = y.shape[0]
-    q = int(np.linalg.matrix_rank(X))
-    S = np.eye(n) - X @ np.linalg.pinv(X)
+    # one SVD provides BOTH the rank and the projector with the SAME
+    # singular-value cut — mixing matrix_rank's tolerance with pinv's
+    # rcond can miscount the null eigenvalues for X near the boundary
+    if X.shape[1]:
+        Ux, sv, _ = np.linalg.svd(X, full_matrices=False)
+        tol = max(X.shape) * np.finfo(np.float64).eps * (sv[0] if sv.size else 0.0)
+        q = int(np.sum(sv > tol))
+        S = np.eye(n) - Ux[:, :q] @ Ux[:, :q].T
+    else:
+        q = 0
+        S = np.eye(n)
     A = S @ (K + np.eye(n)) @ S
     A = 0.5 * (A + A.T)
     w, U = np.linalg.eigh(A)  # ascending
@@ -154,7 +164,7 @@ def independent_cols(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def reml_loglik_diag(
     delta: float, d: np.ndarray, y_star: np.ndarray, X_star: np.ndarray,
-    q: int,
+    q: int, ld2: Optional[float] = None,
 ) -> float:
     """Restricted log-likelihood in K's eigenbasis (FaST-LMM formulation).
 
@@ -178,9 +188,14 @@ def reml_loglik_diag(
     if yPy <= 0:
         return -math.inf
     s1, ld1 = np.linalg.slogdet(XtHiX)
-    s2, ld2 = np.linalg.slogdet(X_star.T @ X_star)
-    if s1 <= 0 or s2 <= 0:
+    if s1 <= 0:
         return -math.inf
+    if ld2 is None:
+        # log|XᵀX| is δ-invariant: maximizers precompute and pass it so
+        # the ~100-point grid doesn't redo this O(n·q²) GEMM per point
+        s2, ld2 = np.linalg.slogdet(X_star.T @ X_star)
+        if s2 <= 0:
+            return -math.inf
     logdetH = float(np.sum(np.log(d + delta)))
     return 0.5 * (
         nq * math.log(nq / (2.0 * math.pi)) - nq - nq * math.log(yPy)
@@ -210,15 +225,23 @@ def reml_maximize_diag(
     X_star, _ = independent_cols(X_star)
     q = X_star.shape[1]
 
+    if q:
+        s2, ld2 = np.linalg.slogdet(X_star.T @ X_star)
+        if s2 <= 0:  # cannot happen after independent_cols; defensive
+            ld2 = None
+    else:
+        ld2 = 0.0
+
     logdelta = np.linspace(llim, ulim, ngrids + 1)
     grid = np.exp(logdelta)
-    lls = np.array([reml_loglik_diag(dd, d, y_star, X_star, q) for dd in grid])
+    lls = np.array([reml_loglik_diag(dd, d, y_star, X_star, q, ld2)
+                    for dd in grid])
 
     candidates = [(grid[0], lls[0]), (grid[-1], lls[-1])]
     for i in range(1, ngrids):
         if lls[i] > lls[i - 1] and lls[i] > lls[i + 1]:
             res = _opt.minimize_scalar(
-                lambda dd: -reml_loglik_diag(dd, d, y_star, X_star, q),
+                lambda dd: -reml_loglik_diag(dd, d, y_star, X_star, q, ld2),
                 bounds=(grid[i - 1], grid[i + 1]), method="bounded",
                 options={"xatol": 1e-12},
             )

@@ -96,7 +96,7 @@ def score_tile(
     ahat = jnp.dot(Wt, Py, preferred_element_type=jnp.float32)
     WtP = jnp.dot(Wt, Pm, preferred_element_type=jnp.float32)
     vara = sigma2_g * jnp.sum(Wt.astype(jnp.float32) * WtP, axis=1)
-    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+    return t_from_ahat_vara(ahat, vara)
 
 
 @jax.jit
@@ -116,7 +116,7 @@ def score_tile_sqrt(
     ahat = jnp.dot(Wt, Py, preferred_element_type=jnp.float32)
     B = jnp.dot(Wt, Lp, preferred_element_type=jnp.float32)
     vara = sigma2_g * jnp.sum(B * B, axis=1)
-    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+    return t_from_ahat_vara(ahat, vara)
 
 
 @jax.jit
@@ -128,7 +128,7 @@ def score_tile_sqrt_bf16(
     ahat = jnp.dot(Wb, Py.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     B = jnp.dot(Wb, Lp.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     vara = sigma2_g * jnp.sum(B * B, axis=1)
-    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+    return t_from_ahat_vara(ahat, vara)
 
 
 
@@ -141,6 +141,26 @@ def eig_T_tile(Wt: jax.Array, U: jax.Array) -> jax.Array:
     the O(b·n·q) work of :func:`score_from_T`. This one GEMM carries all
     the scan's heavy FLOPs."""
     return jnp.dot(Wt, U, preferred_element_type=jnp.float32)
+
+
+def t_from_ahat_vara(ahat: jax.Array, vara: jax.Array) -> jax.Array:
+    """t = â²/var(â) with the zero-variance guard — THE scoring epilogue,
+    shared by every sweep form (tiled, sharded, batched) so the guard has
+    a single source of truth."""
+    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+
+
+def score_from_T_parts(
+    ahat: jax.Array, ts2: jax.Array, TQ: jax.Array, sigma2_g: jax.Array,
+) -> jax.Array:
+    """Eigenbasis scoring epilogue from the three contraction results
+    (â = T·z3, ts2 = ‖Ts‖²_row, TQ = Ts·Q) — factored out so the sharded
+    collective sweep (which psums the contractions over the ``ind`` axis
+    first) applies the IDENTICAL cancellation guard as the tiled path."""
+    vara_raw = ts2 - jnp.sum(TQ * TQ, axis=1)
+    vara = sigma2_g * vara_raw
+    valid = vara_raw > 1e-6 * jnp.maximum(ts2, 1e-12)
+    return jnp.where(valid, t_from_ahat_vara(ahat, vara), 0.0)
 
 
 @jax.jit
@@ -164,10 +184,7 @@ def score_from_T(
     Ts = T * s[None, :]
     ts2 = jnp.sum(Ts * Ts, axis=1)
     TQ = jnp.dot(Ts, Q, preferred_element_type=jnp.float32)
-    vara_raw = ts2 - jnp.sum(TQ * TQ, axis=1)
-    vara = sigma2_g * vara_raw
-    valid = vara_raw > 1e-6 * jnp.maximum(ts2, 1e-12)
-    return jnp.where(valid & (vara > 1e-12), (ahat * ahat) / vara, 0.0)
+    return score_from_T_parts(ahat, ts2, TQ, sigma2_g)
 
 
 @jax.jit
@@ -236,4 +253,4 @@ def score_tile_bf16(
     ahat = jnp.dot(Wb, Py.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     WtP = jnp.dot(Wb, Pm.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     vara = sigma2_g * jnp.sum(Wt.astype(jnp.float32) * WtP, axis=1)
-    return jnp.where(vara > 1e-12, (ahat * ahat) / vara, 0.0)
+    return t_from_ahat_vara(ahat, vara)

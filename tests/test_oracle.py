@@ -175,3 +175,39 @@ def test_extbic_monotone_in_k():
     e1 = reml_core.extbic(ll, 100, 5000, 1, 1.0)
     e2 = reml_core.extbic(ll, 100, 5000, 2, 1.0)
     assert e2 > e1  # more parameters, same fit → worse criterion
+
+
+def test_forward_select_exhaustion_no_duplicates():
+    """fixit with maxit > p must stop when every SNP is selected instead
+    of re-selecting duplicates via the all-zero statistic vector."""
+    from eagleeverything_tpu.data.simulate import simulate_dataset
+    simt = simulate_dataset(n=60, p=4, n_qtl=2, seed=8, h2_qtl=0.6)
+    X0 = np.ones((60, 1))
+    res = oracle.forward_select(simt.y, X0, simt.geno, maxit=10, fixit=True)
+    assert len(res.indices) == len(set(res.indices)) <= 4
+    assert all(np.isfinite(res.extbic_path))
+
+    from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.models import engine_jax
+    handle = GenoHandle(n=60, p=4, source="<exh>", geno=simt.geno)
+    res_e = engine_jax.forward_select(simt.y, X0, handle, maxit=10,
+                                      fixit=True)
+    assert res_e.indices == res.indices
+
+
+def test_forward_select_collinear_design():
+    """A rank-deficient X0 (aliased covariate) must not crash the oracle
+    and must select the same markers as the engine (both reduce X to its
+    independent columns)."""
+    from eagleeverything_tpu.data.simulate import simulate_dataset
+    simt = simulate_dataset(n=100, p=500, n_qtl=2, seed=21, h2_qtl=0.5)
+    rng = np.random.default_rng(0)
+    cov = rng.standard_normal(100)
+    X0 = np.column_stack([np.ones(100), cov, 2.0 * cov])  # exact aliasing
+    res_o = oracle.forward_select(simt.y, X0, simt.geno, maxit=4)
+    from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.models import engine_jax
+    handle = GenoHandle(n=100, p=500, source="<coll>", geno=simt.geno)
+    res_e = engine_jax.forward_select(simt.y, X0, handle, maxit=4)
+    assert res_o.indices == res_e.indices
+    assert len(res_o.indices) >= 1
