@@ -147,3 +147,56 @@ def test_gather_column_matches_local():
     for j in (0, 7, 8, 31):
         col = np.asarray(collectives.gather_column(Wt_dev, j, mesh))
         np.testing.assert_allclose(col, Wt[j], rtol=1e-6)
+
+
+def test_collectives_2axis_mesh_match_single():
+    """(ind=2, snp=4) mesh: the ind-aware collectives (partial
+    contractions + psum over 'ind') must reproduce the plain
+    single-device computations exactly."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from eagleeverything_tpu.ops import kernels
+
+    rng = np.random.default_rng(4)
+    p_pad, n = 512, 64
+    mesh = meshlib.make_mesh((2, 4))
+    Wt = rng.standard_normal((p_pad, n)).astype(np.float32)
+    Wt_dev = jax.device_put(Wt, meshlib.snp_sharding(mesh))
+    assert meshlib.snp_sharding(mesh).spec == ("snp", "ind")
+
+    # MMt
+    K = np.asarray(collectives.mmt_psum(Wt_dev, mesh))
+    np.testing.assert_allclose(K, Wt.T @ Wt, rtol=2e-5, atol=1e-3)
+
+    # sqrt-form sweep + argmax
+    Lp = rng.standard_normal((n, 16)).astype(np.float32)
+    Py = rng.standard_normal(n).astype(np.float32)
+    mask = np.ones(p_pad, dtype=np.float32)
+    mask[7] = 0.0
+    t, i_glob, m_glob = collectives.score_and_argmax(
+        Wt_dev, jnp.asarray(Lp), jnp.asarray(Py), 1.0,
+        jnp.asarray(mask), mesh)
+    t_ref = np.asarray(kernels.score_tile_sqrt(
+        jnp.asarray(Wt), jnp.asarray(Lp), jnp.asarray(Py),
+        jnp.float32(1.0))) * mask
+    np.testing.assert_allclose(np.asarray(t), t_ref, rtol=2e-4, atol=1e-5)
+    assert int(i_glob) == int(np.argmax(t_ref))
+
+    # eigenbasis sweep + argmax
+    q = 8
+    s = rng.standard_normal(n).astype(np.float32)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, q)))
+    z3 = rng.standard_normal(n).astype(np.float32)
+    T_dev = jax.device_put(Wt, meshlib.snp_sharding(mesh))
+    t2, i2, _ = collectives.score_and_argmax_from_T(
+        T_dev, jnp.asarray(s), jnp.asarray(Q, jnp.float32),
+        jnp.asarray(z3), 1.0, jnp.asarray(mask), mesh)
+    t2_ref = np.asarray(kernels.score_from_T(
+        jnp.asarray(Wt), jnp.asarray(s), jnp.asarray(Q, jnp.float32),
+        jnp.asarray(z3), jnp.float32(1.0))) * mask
+    np.testing.assert_allclose(np.asarray(t2), t2_ref, rtol=2e-4, atol=1e-5)
+    assert int(i2) == int(np.argmax(t2_ref))
+
+    # winning-column gather
+    col = np.asarray(collectives.gather_column(Wt_dev, 37, mesh))
+    np.testing.assert_allclose(col, Wt[37], rtol=1e-6)
