@@ -120,6 +120,18 @@ def test_full_scan_shard_count_invariance(sim):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_2axis_mesh(sim, oracle_res):
+    """Full explicit-collective scan on an (ind=2, snp=4) mesh: the
+    ind-aware collectives (psum-merged partial contractions) must select
+    the oracle's markers."""
+    cfg = EagleConfig(mesh_shape=(2, 4))
+    res = engine_jax.forward_select(
+        sim.y, _design(sim), _handle(sim), maxit=10, sharded=True,
+        config=cfg)
+    assert res.indices == oracle_res.indices
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_2d_mesh_tiled_engine_matches_oracle(sim, oracle_res):
     """(ind=2, snp=4) mesh: streamed tiles sharded on BOTH axes through
     GSPMD (SNP rows + individual columns) still reproduce the oracle."""
