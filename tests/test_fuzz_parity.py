@@ -34,3 +34,28 @@ def test_engine_matches_oracle_fuzz(seed):
         f"vs oracle {res_o.indices}")
     np.testing.assert_allclose(res_e.extbic_path, res_o.extbic_path,
                                rtol=2e-3)
+
+
+@pytest.mark.parametrize("seed", range(70, 80))
+def test_engine_matches_oracle_fuzz_zmat(seed):
+    """Random unbalanced repeated-measures designs (1-3 records per
+    individual, random order) through the Zmat path: engine ≡ oracle."""
+    rng = np.random.default_rng(seed)
+    n_ind = int(rng.integers(50, 90))
+    p = int(rng.integers(150, 350))
+    sim = simulate_dataset(n=n_ind, p=p, n_qtl=2,
+                           h2_qtl=float(rng.uniform(0.3, 0.6)), seed=seed)
+    reps = rng.integers(1, 4, size=n_ind)
+    owners = np.repeat(np.arange(n_ind), reps)
+    rng.shuffle(owners)
+    n_rec = owners.shape[0]
+    Z = np.zeros((n_rec, n_ind))
+    Z[np.arange(n_rec), owners] = 1.0
+    y_rec = Z @ sim.y + 0.3 * rng.standard_normal(n_rec)
+    X0 = np.ones((n_rec, 1))
+
+    res_o = oracle.forward_select(y_rec, X0, sim.geno, maxit=3, Z=Z)
+    handle = GenoHandle(n=n_ind, p=p, source=f"<fz{seed}>", geno=sim.geno)
+    res_e = engine_jax.forward_select(y_rec, X0, handle, maxit=3, Z=Z)
+    assert res_e.indices == res_o.indices, (
+        f"seed={seed}: engine {res_e.indices} vs oracle {res_o.indices}")
