@@ -38,10 +38,14 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke-testing the harness")
     ap.add_argument("--config", default="sweep",
-                    choices=["sweep", "cohort"],
+                    choices=["sweep", "cohort", "multitrait"],
                     help="sweep: resident-tile scan kernel (default); "
                          "cohort: out-of-core packed-store streaming scan "
-                         "(BASELINE config 3 scaled)")
+                         "(BASELINE config 3 scaled); multitrait: batched "
+                         "lockstep eigenbasis sweep over R traits "
+                         "(BASELINE config 5)")
+    ap.add_argument("--traits", type=int, default=16,
+                    help="batch width R for --config multitrait")
     ap.add_argument("--watchdog", type=int, default=480,
                     help="seconds before a stack dump + exit(1) — guards "
                          "against a wedged device hanging the harness")
@@ -92,9 +96,10 @@ def main() -> None:
         faulthandler.dump_traceback_later(args.watchdog, exit=True)
 
         def _watchdog_fire():
-            metric = ("snps_scored_per_sec_per_chip_outofcore"
-                      if args.config == "cohort"
-                      else "snps_scored_per_sec_per_chip")
+            metric = {
+                "cohort": "snps_scored_per_sec_per_chip_outofcore",
+                "multitrait": "trait_snps_scored_per_sec_per_chip",
+            }.get(args.config, "snps_scored_per_sec_per_chip")
             print(json.dumps({
                 "metric": metric, "value": 0.0,
                 "unit": "SNPs/s", "vs_baseline": None,
@@ -109,8 +114,11 @@ def main() -> None:
         _t.start()
     if args.quick:
         args.n, args.p, args.reps = 256, 8192, 2
+        args.traits = 4
     if args.config == "cohort":
         return bench_cohort(args)
+    if args.config == "multitrait":
+        return bench_multitrait(args)
 
     import jax
     import jax.numpy as jnp
@@ -243,6 +251,54 @@ def bench_cohort(args) -> None:
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_multitrait(args) -> None:
+    """Batched lockstep multi-trait sweep (BASELINE config 5): one pass
+    over the cached eigenbasis tiles scores ALL R traits
+    (kernels.score_from_T_batched — the am_multi / FPR4AM device path).
+    Metric: trait·SNPs scored per second per chip."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from eagleeverything_tpu.ops import kernels
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
+
+    n, p, R = args.n, min(args.p, 51200), args.traits
+    q = 16
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(rng.standard_normal((p, n)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((R, n)).astype(np.float32))
+    Q = jnp.asarray(np.linalg.qr(
+        rng.standard_normal((R, n, q)))[0].astype(np.float32))
+    z3 = jnp.asarray(rng.standard_normal((R, n)).astype(np.float32))
+    s2g = jnp.ones((R,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames="reps")
+    def loop(T, s, Q, z3, s2g, reps):
+        def body(_, acc):
+            t = kernels.score_from_T_batched(T, s, Q, z3, s2g + 0.0 * acc)
+            return acc + t[0, 0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(loop(T, s, Q, z3, s2g, reps=args.reps))  # warm-up / compile
+    start = time.perf_counter()
+    float(loop(T, s, Q, z3, s2g, reps=args.reps))
+    secs = (time.perf_counter() - start) / args.reps
+
+    print(json.dumps({
+        "metric": "trait_snps_scored_per_sec_per_chip",
+        "value": round(R * p / secs, 1),
+        "unit": "trait·SNPs/s",
+        "vs_baseline": None,
+        "detail": {
+            "n_individuals": n, "p_snps": p, "traits": R, "q": q,
+            "backend": jax.default_backend(),
+            "sweep_wallclock_s": round(secs, 6),
+        },
+    }))
 
 
 if __name__ == "__main__":
