@@ -54,13 +54,16 @@ def am(
       maxit: maximum forward-selection steps (reference default 40).
       fixit: force exactly ``maxit`` selections, ignoring extBIC.
       lam: extBIC sparsity weight λ/gamma (calibrate with :func:`fpr4am`).
-      engine: "auto" (JAX engine), "jax", "oracle", or "sharded"
-        (explicit multi-device shard_map path).
+      engine: "auto" (JAX engine; switches to "matfree" above
+        ``config.matfree_min_n`` individuals, where the n×n kernel no
+        longer fits), "jax", "oracle", "sharded" (explicit multi-device
+        shard_map path), or "matfree".
     """
     prep = prepare_inputs(trait, geno, pheno, fformula, Zmat)
 
     if engine == "auto":
-        engine = "jax"
+        n_ind = prep.handle.n
+        engine = "matfree" if n_ind > config.matfree_min_n else "jax"
     if engine == "oracle":
         geno_raw = prep.handle.materialize()
         if prep.keep_individuals is not None:
@@ -87,6 +90,7 @@ def am(
             prep.y, prep.X0, backend, maxit=maxit, fixit=fixit,
             lam_ebic=lam, quiet=quiet, Z=prep.Z, log_jsonl=log_jsonl,
             column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)),
+            ckpt_dir=ckpt_dir, resume=resume,
         )
     else:
         raise ValueError(f"unknown engine {engine!r}")

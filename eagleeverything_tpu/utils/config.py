@@ -38,6 +38,10 @@ class EagleConfig:
         across iterations; data above it re-streams every sweep.
       host_eigh_max_n: use host float64 ``scipy`` eigendecomposition when
         n ≤ this threshold; above it, device float32 ``jnp.linalg.eigh``.
+      matfree_min_n: ``am(engine="auto")`` switches to the matrix-free
+        engine above this many individuals — the regime where even the
+        device-f32 n×n kernel/eigenbasis strains HBM (n=32768 f32 ≈ 4.3 GB
+        for U alone, plus eigh workspace).
       seed: base PRNG seed for permutation tests.
     """
 
@@ -47,6 +51,7 @@ class EagleConfig:
     availmem_gb: float = 8.0
     device_cache_gb: float = 8.0
     host_eigh_max_n: int = 8192
+    matfree_min_n: int = 32768
     seed: int = 0
 
     def __post_init__(self):

@@ -53,6 +53,22 @@ def test_am_oracle_engine_agrees(handles):
     assert r1.indices == r2.indices
 
 
+def test_am_auto_routes_to_matfree(handles, tmp_path):
+    """engine='auto' switches to the matrix-free engine above
+    config.matfree_min_n (selection unchanged), and am() forwards
+    ckpt_dir/resume to it."""
+    geno, pheno, _, _ = handles
+    r_jax = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                  maxit=6, engine="jax")
+    cfg = ee.EagleConfig(matfree_min_n=10)  # force matfree at tutorial n
+    d = str(tmp_path / "mfck")
+    r_auto = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                   maxit=6, engine="auto", config=cfg, ckpt_dir=d)
+    assert r_auto.indices == r_jax.indices
+    import os
+    assert any("scan_state" in f for f in os.listdir(d))  # ckpt forwarded
+
+
 def test_am_sharded_engine_agrees(handles):
     geno, pheno, _, _ = handles
     r1 = ee.am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
