@@ -30,14 +30,19 @@ def summary_am(
     Zmat: Optional[np.ndarray] = None,
     quiet: bool = False,
     config: EagleConfig = DEFAULT_CONFIG,
+    engine: str = "auto",
 ) -> WaldSummary:
-    """Wald inference for each selected marker (reference: ``SummaryAM()``)."""
+    """Wald inference for each selected marker (reference: ``SummaryAM()``).
+
+    ``engine``: "exact" (dense n×n kernel + fresh REML refit), "matfree"
+    (biobank n: V⁻¹-products by CG against the kernel matvec, reusing the
+    scan's own (δ, σ²) final-model fit), or "auto" (matfree above
+    ``config.matfree_min_n``)."""
     prep = prepare_inputs(trait, geno, pheno, fformula, Zmat)
     y, X0, Z = prep.y, prep.X0, prep.Z
 
     src = engine_jax._make_source(prep.handle, prep.keep_individuals)
     backend = engine_jax.TiledScan(src, config)
-    K = engine_jax.normalized_kernel(backend.compute_K(), Z)
 
     idx = list(res.indices)
     Wcols = np.column_stack(
@@ -46,10 +51,22 @@ def summary_am(
     if Z is not None:
         Wcols = Z @ Wcols
 
-    lam_s, eta2_s, _ = reml_core.spectral_inputs(
-        y, np.hstack([X0, Wcols]), K)
-    fit = reml_core.reml_maximize(lam_s, eta2_s)
-    out = gls_wald_stats(y, X0, Wcols, K, idx, fit)
+    if engine == "auto":
+        engine = "matfree" if src.n > config.matfree_min_n else "exact"
+    if engine == "matfree":
+        from eagleeverything_tpu.models import bigscan
+        ctx = bigscan.make_context(backend, y.shape[0], Z=Z)
+        out = bigscan.gls_wald_stats_matfree(
+            ctx.solve_block, y, X0, Wcols, idx,
+            res.delta, res.sigma2_g, res.sigma2_e)
+    elif engine == "exact":
+        K = engine_jax.normalized_kernel(backend.compute_K(), Z)
+        lam_s, eta2_s, _ = reml_core.spectral_inputs(
+            y, np.hstack([X0, Wcols]), K)
+        fit = reml_core.reml_maximize(lam_s, eta2_s)
+        out = gls_wald_stats(y, X0, Wcols, K, idx, fit)
+    else:
+        raise ValueError(f"unknown summary engine {engine!r}")
     if not quiet:
         _print_summary(out, res)
     return out

@@ -497,6 +497,86 @@ def score_sweep_matfree(
     return t, cand
 
 
+def gls_wald_stats_matfree(
+    solve_block, y: np.ndarray, X0: np.ndarray, Wcols: np.ndarray,
+    indices, delta: float, sigma2_g: float, sigma2_e: float,
+):
+    """Matrix-free GLS + Wald tests (reference ``SummaryAM()`` at biobank
+    n): identical algebra to oracle.gls_wald_stats but V⁻¹-products come
+    from CG solves against the kernel matvec — V = σ²_g·(K+δI) is never
+    materialized. Uses the scan's own (δ, σ²) fit for the final model."""
+    from scipy import stats as _stats
+
+    from eagleeverything_tpu.models.oracle import WaldSummary
+
+    idx = list(indices)
+    X = np.hstack([X0, Wcols])
+    B = np.column_stack([X, y])
+    Sol = solve_block(delta, B)                 # H⁻¹·[X y]
+    HiX, Hiy = Sol[:, :-1], Sol[:, -1]
+    XtVinvX = (X.T @ HiX) / sigma2_g
+    cov = np.linalg.inv(XtVinvX)
+    beta = cov @ (X.T @ Hiy) / sigma2_g
+    q0 = X0.shape[1]
+    b = beta[q0:]
+    se = np.sqrt(np.diag(cov)[q0:])
+    wald = (b / se) ** 2
+    pval = _stats.chi2.sf(wald, df=1)
+    vary = float(np.var(y))
+    varexp = np.array(
+        [float(b[i] ** 2 * np.var(Wcols[:, i])) / vary if vary > 0 else 0.0
+         for i in range(len(idx))])
+    return WaldSummary(
+        indices=idx, beta=b, se=se, wald=wald, pvalue=pval,
+        var_explained=varexp, sigma2_g=sigma2_g, sigma2_e=sigma2_e,
+    )
+
+
+def make_context(backend, n: int, Z: Optional[np.ndarray] = None,
+                 probes: int = 32, seed: int = 4242,
+                 lanczos_m: int = 40,
+                 s0: Optional[float] = None) -> MatfreeContext:
+    """Build a MatfreeContext over a scan backend: Hutchinson s0 estimate,
+    normalized (optionally Z-wrapped) kernel matvec, and the device
+    CG/Lanczos hooks when available (shared by the scan and summary)."""
+    n_ind = backend.src.n
+    if s0 is None:
+        # mean diag of MMt = E_j ‖w_j‖² — estimate with one probe pass:
+        # tr(MMt)/n = Σ_j ‖w_j‖²/n via Hutchinson on MMt
+        rng0 = np.random.default_rng(0)
+        Zp = rng0.choice((-1.0, 1.0), size=(n_ind, 16))
+        KZ = backend.kernel_matvec(Zp)
+        s0 = float(np.mean(np.sum(Zp * KZ, axis=0)) / n_ind)
+    s0 = s0 if s0 > 0 else 1.0
+
+    if Z is None:
+        def kernel_matvec(V):
+            return backend.kernel_matvec(V) / s0
+    else:
+        Z = np.asarray(Z, dtype=np.float64)
+
+        def kernel_matvec(V):
+            return Z @ backend.kernel_matvec(Z.T @ V) / s0
+
+    device_solve = device_lanczos = None
+    if Z is None and hasattr(backend, "device_cg"):
+        def device_solve(B, delta, tol, maxiter, _s0=s0):
+            return backend.device_cg(B, delta, _s0, tol=tol,
+                                     maxiter=maxiter)
+
+        def device_lanczos(Zc, m, reorth, _s0=s0):
+            return backend.device_lanczos(Zc, m, reorth, _s0)
+
+    rng = np.random.default_rng(seed)
+    return MatfreeContext(
+        kernel_matvec=kernel_matvec, n=n,
+        probes=rng.choice((-1.0, 1.0), size=(n, probes)),
+        lanczos_m=lanczos_m,
+        device_solve=device_solve,
+        device_lanczos=device_lanczos,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward selection on the matrix-free pieces
 # ---------------------------------------------------------------------------
@@ -537,42 +617,8 @@ def forward_select_matfree(
     if Z is not None:
         Z = np.asarray(Z, dtype=np.float64)
 
-    n_ind = backend.src.n
-    if s0 is None:
-        # mean diag of MMt = E_j ‖w_j‖² — estimate with one probe pass:
-        # tr(MMt)/n = Σ_j ‖w_j‖²/n via Hutchinson on MMt
-        rng = np.random.default_rng(0)
-        Zp = rng.choice((-1.0, 1.0), size=(n_ind, 16))
-        KZ = backend.kernel_matvec(Zp)
-        s0 = float(np.mean(np.sum(Zp * KZ, axis=0)) / n_ind)
-
-    if Z is None:
-        def kernel_matvec(V):
-            return backend.kernel_matvec(V) / s0
-    else:
-        def kernel_matvec(V):
-            return Z @ backend.kernel_matvec(Z.T @ V) / s0
-
-    # without Z, the whole CG loop can run as one jitted device program
-    # (H on the raw WᵀW with s0 folded in); with Z the host transforms
-    # wrap the matvec, so the streamed host CG stays
-    device_solve = device_lanczos = None
-    if Z is None and hasattr(backend, "device_cg"):
-        def device_solve(B, delta, tol, maxiter, _s0=s0):
-            return backend.device_cg(B, delta, _s0, tol=tol,
-                                     maxiter=maxiter)
-
-        def device_lanczos(Zc, m, reorth, _s0=s0):
-            return backend.device_lanczos(Zc, m, reorth, _s0)
-
-    rng = np.random.default_rng(4242)
-    ctx = MatfreeContext(
-        kernel_matvec=kernel_matvec, n=n,
-        probes=rng.choice((-1.0, 1.0), size=(n, probes)),
-        lanczos_m=lanczos_m,
-        device_solve=device_solve,
-        device_lanczos=device_lanczos,
-    )
+    ctx = make_context(backend, n, Z=Z, probes=probes,
+                       lanczos_m=lanczos_m, s0=s0)
 
     selected: list[int] = []
     extbic_path: list[float] = []

@@ -100,6 +100,14 @@ def test_summary_am(handles):
                       fformula="age + sex", quiet=True)
     assert len(s.indices) == len(res.indices)
     assert (s.pvalue < 0.05).all()
+    # matfree Wald path (biobank-n summary): same betas/se to CG+f32
+    # tolerance — it reuses the scan's (delta, sigma2) rather than refit,
+    # so allow a modest relative band
+    sm = ee.summary_am(res, trait="y", geno=geno, pheno=pheno,
+                       fformula="age + sex", quiet=True, engine="matfree")
+    np.testing.assert_allclose(sm.beta, s.beta, rtol=0.05)
+    np.testing.assert_allclose(sm.se, s.se, rtol=0.10)
+    assert (sm.pvalue < 0.05).all()
 
 
 def test_fpr4am_batched(handles):
