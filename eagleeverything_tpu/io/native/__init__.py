@@ -69,6 +69,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.ee_ascii_close.restype = None
         lib.ee_ascii_close.argtypes = [ctypes.c_void_p]
+        lib.ee_vcf_open.restype = ctypes.c_void_p
+        lib.ee_vcf_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ee_vcf_next.restype = ctypes.c_int64
+        lib.ee_vcf_next.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.ee_vcf_close.restype = None
+        lib.ee_vcf_close.argtypes = [ctypes.c_void_p]
         lib.ee_pack2.restype = None
         lib.ee_pack2.argtypes = [
             np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
@@ -128,6 +144,83 @@ def iter_ascii_blocks_native(
             lib.ee_ascii_close(handle)
 
     return gen()
+
+
+_VCF_CHROM_W, _VCF_ID_W = 64, 128  # ingest.cpp kChromW / kIdW
+
+
+def iter_vcf_blocks_native(
+    path: str, block_snps: int = 4096
+) -> Optional[Iterator[tuple]]:
+    """Native streamed VCF GT scan (multithreaded mmap'd recode); yields
+    the same ``(geno [n × b], names, chroms, pos)`` tuples as the Python
+    ``parsers.iter_vcf_blocks``. None when the library is unavailable or
+    the file lacks a #CHROM header (the Python parser then raises the
+    descriptive error)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_samples = ctypes.c_int64()
+    n_variants = ctypes.c_int64()
+    handle = lib.ee_vcf_open(
+        path.encode(), ctypes.byref(n_samples), ctypes.byref(n_variants)
+    )
+    if not handle:
+        return None
+
+    def gen():
+        n = n_samples.value
+        try:
+            while True:
+                dose = np.empty((block_snps, n), dtype=np.int8)
+                pos = np.empty(block_snps, dtype=np.int64)
+                chrom = np.empty((block_snps, _VCF_CHROM_W), dtype=np.uint8)
+                vid = np.empty((block_snps, _VCF_ID_W), dtype=np.uint8)
+                got = lib.ee_vcf_next(handle, dose, pos, chrom, vid,
+                                      block_snps)
+                if got < 0:
+                    raise ValueError(
+                        f"malformed VCF record at data row {-got} of a "
+                        f"block in {path} (bad GT/POS field, oversized "
+                        f"CHROM/ID, or field-count mismatch)"
+                    )
+                if got == 0:
+                    break
+                chroms = [
+                    bytes(chrom[r]).rstrip(b"\x00").decode()
+                    for r in range(got)
+                ]
+                ids = [
+                    bytes(vid[r]).rstrip(b"\x00").decode()
+                    for r in range(got)
+                ]
+                poss = [int(x) for x in pos[:got]]
+                names = [
+                    ids[r] if ids[r] != "." else f"{chroms[r]}:{poss[r]}"
+                    for r in range(got)
+                ]
+                yield dose[:got].T, names, chroms, poss
+        finally:
+            lib.ee_vcf_close(handle)
+
+    return gen()
+
+
+def vcf_dims_native(path: str) -> Optional[tuple[int, int]]:
+    """(n_samples, n_variants) via the native header scan; None if
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_samples = ctypes.c_int64()
+    n_variants = ctypes.c_int64()
+    handle = lib.ee_vcf_open(
+        path.encode(), ctypes.byref(n_samples), ctypes.byref(n_variants)
+    )
+    if not handle:
+        return None
+    lib.ee_vcf_close(handle)
+    return int(n_samples.value), int(n_variants.value)
 
 
 def pack2(geno: np.ndarray) -> np.ndarray:

@@ -177,9 +177,199 @@ int recode_rows(const Stream* st, size_t row0, int64_t rows, int8_t* out) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// VCF GT scanner — the native fast path for ReadMarker(type='vcf')
+// (reference: the VCF branch of ReadMarker, SURVEY.md §3.3 "VCF ingest";
+// ingest throughput on multi-million-SNP VCFs is flagged as a hot spot in
+// SURVEY.md §8). Semantics mirror parsers.iter_vcf_blocks exactly: only the
+// GT subfield is read; '.' anywhere in the call or <2 alleles → missing;
+// allele doses are clamped to 1 (multi-allelic → dose of the ALT count).
+
+struct VcfStream {
+  MappedFile mf;
+  std::vector<std::pair<size_t, size_t>> lines;  // data lines only
+  size_t next_line = 0;
+  int64_t n_samples = 0;
+};
+
+constexpr int kChromW = 64;   // fixed-width metadata slots (per variant)
+constexpr int kIdW = 128;
+
+// Parse one data line. Returns 0 on success, -1 on any malformed or
+// oversized record (caller reports the row; semantics match the Python
+// parser raising on the same inputs).
+int parse_vcf_row(const char* s, const char* e, int64_t n, int8_t* dose,
+                  int64_t* pos, char* chrom, char* id) {
+  // fields 0..8: CHROM POS ID REF ALT QUAL FILTER INFO FORMAT
+  const char* f[9];
+  const char* fe[9];
+  const char* q = s;
+  for (int k = 0; k < 9; ++k) {
+    f[k] = q;
+    const char* t = static_cast<const char*>(memchr(q, '\t', e - q));
+    if (!t) return -1;  // needs ≥ 9 tabs (FORMAT + ≥1 sample)
+    fe[k] = t;
+    q = t + 1;
+  }
+  // CHROM / ID metadata (fixed-width, NUL-padded)
+  if (fe[0] - f[0] >= kChromW || fe[2] - f[2] >= kIdW) return -1;
+  memset(chrom, 0, kChromW);
+  memcpy(chrom, f[0], fe[0] - f[0]);
+  memset(id, 0, kIdW);
+  memcpy(id, f[2], fe[2] - f[2]);
+  // POS (digits only)
+  int64_t p = 0;
+  if (f[1] == fe[1]) return -1;
+  for (const char* c = f[1]; c < fe[1]; ++c) {
+    if (*c < '0' || *c > '9') return -1;
+    p = p * 10 + (*c - '0');
+  }
+  *pos = p;
+  // GT index within FORMAT (colon-separated keys)
+  int gt_idx = -1, k = 0;
+  for (const char* c = f[8]; c <= fe[8]; ++k) {
+    const char* colon = static_cast<const char*>(
+        memchr(c, ':', fe[8] - c));
+    const char* tok_e = colon ? colon : fe[8];
+    if (tok_e - c == 2 && c[0] == 'G' && c[1] == 'T') { gt_idx = k; break; }
+    if (!colon) break;
+    c = colon + 1;
+  }
+  if (gt_idx < 0) return -1;
+  // samples
+  for (int64_t i = 0; i < n; ++i) {
+    if (q > e) return -1;  // fewer sample fields than samples
+    const char* t = static_cast<const char*>(memchr(q, '\t', e - q));
+    const char* se = t ? t : e;
+    // gt_idx'th colon-separated subfield
+    const char* g = q;
+    for (int j = 0; j < gt_idx; ++j) {
+      const char* colon = static_cast<const char*>(memchr(g, ':', se - g));
+      if (!colon) return -1;  // truncated sample field (Python: IndexError)
+      g = colon + 1;
+    }
+    const char* colon = static_cast<const char*>(memchr(g, ':', se - g));
+    const char* ge = colon ? colon : se;
+    // split alleles on '/' or '|'; mirror Python: any token "." or <2
+    // tokens → missing; first two tokens must be numeric, clamped to 1
+    int ntok = 0;
+    bool any_dot = false, bad = false;
+    int v01[2] = {0, 0};
+    const char* a = g;
+    while (a <= ge) {
+      const char* sep = a;
+      while (sep < ge && *sep != '/' && *sep != '|') ++sep;
+      const int64_t len = sep - a;
+      if (len == 1 && *a == '.') {
+        any_dot = true;
+      } else if (ntok < 2) {
+        if (len == 0) { bad = true; }
+        else {
+          int64_t v = 0;
+          for (const char* c = a; c < sep; ++c) {
+            if (*c < '0' || *c > '9') { bad = true; break; }
+            v = v * 10 + (*c - '0');
+          }
+          v01[ntok] = v > 0 ? 1 : 0;
+        }
+      }
+      ++ntok;
+      if (sep >= ge) break;
+      a = sep + 1;
+    }
+    if (any_dot || ntok < 2) {
+      dose[i] = kMissing;
+    } else if (bad) {
+      return -1;  // Python: int('') / int(garbage) raises
+    } else {
+      dose[i] = static_cast<int8_t>(v01[0] + v01[1]);
+    }
+    q = se + 1;
+  }
+  if (q <= e) return -1;  // more sample fields than samples
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Open a VCF for streamed GT scanning. Fills n_samples / n_variants.
+// Returns nullptr on unreadable file or missing #CHROM header (callers
+// fall back to the Python parser, which raises the descriptive error).
+void* ee_vcf_open(const char* path, int64_t* n_samples,
+                  int64_t* n_variants) {
+  auto* st = new VcfStream();
+  if (!st->mf.open(path)) { delete st; return nullptr; }
+  std::vector<std::pair<size_t, size_t>> all;
+  index_lines(st->mf.data, st->mf.size, &all);
+  size_t first_data = 0;
+  int64_t n = -1;
+  for (size_t i = 0; i < all.size(); ++i) {
+    const char* s = st->mf.data + all[i].first;
+    const size_t len = all[i].second - all[i].first;
+    if (len >= 2 && s[0] == '#' && s[1] == '#') continue;
+    if (len >= 6 && memcmp(s, "#CHROM", 6) == 0) {
+      n = 0;  // samples = tab-separated fields beyond the 9 fixed ones
+      int64_t fields = 1;
+      for (size_t j = 0; j < len; ++j) fields += (s[j] == '\t');
+      n = fields - 9;
+      first_data = i + 1;
+      continue;
+    }
+    if (n < 0) { st->mf.close(); delete st; return nullptr; }
+    if (first_data == 0) first_data = i;
+  }
+  if (n <= 0) { st->mf.close(); delete st; return nullptr; }
+  st->lines.assign(all.begin() + first_data, all.end());
+  st->n_samples = n;
+  *n_samples = n;
+  *n_variants = static_cast<int64_t>(st->lines.size());
+  return st;
+}
+
+// Scan the next ≤ max_rows variants: doses (max_rows × n_samples int8,
+// SNP-major), pos (int64), chrom/id (fixed 64/128-byte NUL-padded slots
+// per variant). Returns variants produced (0 at EOF) or a negative
+// 1-based row offset of the first malformed record within this block.
+int64_t ee_vcf_next(void* handle, int8_t* doses, int64_t* pos, char* chrom,
+                    char* id, int64_t max_rows) {
+  auto* st = static_cast<VcfStream*>(handle);
+  const int64_t remaining =
+      static_cast<int64_t>(st->lines.size() - st->next_line);
+  const int64_t rows = std::min(max_rows, remaining);
+  if (rows <= 0) return 0;
+  const int nt = std::min<int64_t>(hw_threads(), rows);
+  const int64_t chunk = (rows + nt - 1) / nt;
+  std::vector<std::thread> threads;
+  std::vector<int64_t> errs(nt, 0);
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      const int64_t lo = t * chunk, hi = std::min<int64_t>(rows, lo + chunk);
+      for (int64_t r = lo; r < hi; ++r) {
+        const auto& ln = st->lines[st->next_line + r];
+        if (parse_vcf_row(st->mf.data + ln.first, st->mf.data + ln.second,
+                          st->n_samples, doses + r * st->n_samples,
+                          pos + r, chrom + r * kChromW, id + r * kIdW)
+            != 0) {
+          errs[t] = r + 1;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < nt; ++t)
+    if (errs[t]) return -errs[t];
+  st->next_line += static_cast<size_t>(rows);
+  return rows;
+}
+
+void ee_vcf_close(void* handle) {
+  auto* st = static_cast<VcfStream*>(handle);
+  st->mf.close();
+  delete st;
+}
 
 // Open an ASCII genotype file for streamed recoding. Returns an opaque
 // handle (nullptr on failure) and fills n_rows / n_cols / nospace.

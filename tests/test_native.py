@@ -118,3 +118,97 @@ def test_vcf_into_store(sim, tmp_path):
     h = read_marker(f, type="vcf", store_dir=d, n_shards=2)
     np.testing.assert_array_equal(h.materialize(), sim.geno)
     assert h.marker_names == sim.marker_names
+
+
+# ---- native VCF GT scanner (ee_vcf_*) --------------------------------------
+
+
+def _collect_vcf(path, block_snps=4096, use_native=True):
+    genos, names, chroms, poss = [], [], [], []
+    for g, nm, ch, po in parsers.iter_vcf_blocks(
+        path, block_snps=block_snps, use_native=use_native
+    ):
+        genos.append(g)
+        names += nm
+        chroms += ch
+        poss += po
+    return np.hstack(genos), names, chroms, poss
+
+
+def test_native_vcf_matches_python(sim, tmp_path):
+    f = str(tmp_path / "g.vcf")
+    simmod.write_vcf(sim, f)
+    gn, nn, cn, pn = _collect_vcf(f, use_native=True)
+    gp, np_, cp, pp_ = _collect_vcf(f, use_native=False)
+    np.testing.assert_array_equal(gn, gp)
+    assert nn == np_ and cn == cp and pn == pp_
+    np.testing.assert_array_equal(gn, sim.geno)
+
+
+def test_native_vcf_block_boundaries(sim, tmp_path):
+    f = str(tmp_path / "g.vcf")
+    simmod.write_vcf(sim, f)
+    g1 = _collect_vcf(f, block_snps=7)[0]
+    g2 = _collect_vcf(f, block_snps=100000)[0]
+    np.testing.assert_array_equal(g1, g2)
+
+
+def test_native_vcf_edge_calls(tmp_path):
+    """Phased |, haploid, multi-allelic clamp, '.' in call, GT not first
+    in FORMAT, '.' ID fallback naming — native ≡ python on each."""
+    f = str(tmp_path / "edge.vcf")
+    hdr = "\t".join(
+        ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+         "FORMAT", "S1", "S2", "S3"]
+    )
+    rows = [
+        # phased and unphased mix
+        ["1", "100", "rs1", "A", "B", ".", "PASS", ".", "GT",
+         "0|1", "1|1", "0/0"],
+        # '.' anywhere in the call → missing; haploid → missing
+        ["1", "200", "rs2", "A", "B", ".", ".", ".", "GT",
+         "./.", "1/.", "1"],
+        # multi-allelic: alleles clamp to 1 (2/2 → dose 2, 0/2 → dose 1)
+        ["2", "300", "rs3", "A", "B,C", ".", ".", ".", "GT",
+         "2/2", "0/2", "1/2"],
+        # GT not first in FORMAT; extra subfields present
+        ["2", "400", "rs4", "A", "B", ".", ".", ".", "DP:GT:GQ",
+         "9:0/1:33", "7:1/1:12", "4:./.:0"],
+        # '.' ID → name falls back to chrom:pos
+        ["3", "500", ".", "A", "B", ".", ".", ".", "GT",
+         "0/0", "0/1", "1/1"],
+        # triploid call: first two alleles used unless any '.' present
+        ["3", "600", "rs6", "A", "B", ".", ".", ".", "GT",
+         "0/1/1", "1/0/.", "0|0|1"],
+    ]
+    with open(f, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n" + hdr + "\n")
+        for r in rows:
+            fh.write("\t".join(r) + "\n")
+    gn, nn, cn, pn = _collect_vcf(f, use_native=True)
+    gp, np_, cp, pp_ = _collect_vcf(f, use_native=False)
+    np.testing.assert_array_equal(gn, gp)
+    assert nn == np_ and cn == cp and pn == pp_
+    expected = np.array(
+        [[1, 2, 0],
+         [-9, -9, -9],
+         [2, 1, 2],
+         [1, 2, -9],
+         [0, 1, 2],
+         [1, -9, 0]], dtype=np.int8
+    ).T
+    np.testing.assert_array_equal(gn, expected)
+    assert nn[4] == "3:500" and nn[0] == "rs1"
+    assert parsers.vcf_dims(f) == (3, 6)
+
+
+def test_native_vcf_malformed_raises(tmp_path):
+    f = str(tmp_path / "bad.vcf")
+    with open(f, "w") as fh:
+        fh.write("##x\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                 "\tFORMAT\tS1\n")
+        fh.write("1\t100\trs1\tA\tB\t.\t.\t.\tGT\t0/x\n")
+    with pytest.raises(ValueError):
+        _collect_vcf(f, use_native=True)
+    with pytest.raises(Exception):
+        _collect_vcf(f, use_native=False)
