@@ -48,11 +48,23 @@ def plot_am(
       map: marker map for chromosome striping; without it, SNP index is the
         x axis.
       itnum: which iteration's statistics to plot (default: last).
-      save: path to write the figure (PNG/PDF by extension).
+      save: path to write the figure (PNG/PDF by extension; ``.html``
+        writes a self-contained interactive Manhattan with hover tooltips
+        — the reference PlotAM's optional plotly interactivity).
       show: call ``plt.show()``.
       type: "manhattan" (t_j by position) or "trace" (extBIC trajectory).
-    Returns the matplotlib Figure.
+    Returns the matplotlib Figure (or the path for ``.html`` saves).
     """
+    if save is not None and save.endswith(".html"):
+        if type != "manhattan":
+            raise ValueError("interactive .html export is manhattan-only")
+        from eagleeverything_tpu import gui
+        payload = gui._plot_data(res, map)
+        html = gui.render_manhattan_html(
+            payload, title=f"eagle-tpu scan — trait {res.trait_name}")
+        with open(save, "w") as f:
+            f.write(html)
+        return save
     if show:
         # interactive path only: pyplot picks a GUI backend
         import matplotlib.pyplot as plt

@@ -24,6 +24,69 @@ _STATE = {
 }
 _LOCK = threading.Lock()
 
+# Shared SVG Manhattan renderer (hover tooltips): used by the GUI page
+# and embedded into plot_am(save='*.html') standalone exports (reference:
+# PlotAM's optional plotly interactivity, SURVEY.md §3.1).
+_MANHATTAN_JS = """
+function eeEsc(s){return String(s).replace(/[&<>"']/g,
+ c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]))}
+function eeDrawManhattan(d,wrap,tip){
+ const W=980,H=360,L=55,B=40,T=18,R=12,pw=W-L-R,ph=H-B-T;
+ const xmax=d.x.reduce((a,b)=>a>b?a:b,1),ymax=d.t.reduce((a,b)=>a>b?a:b,1)*1.06;
+ const sx=v=>L+v/xmax*pw, sy=v=>T+ph-v/ymax*ph;
+ const cols=['#3b4cc0','#8ea0cc'];
+ let s='<svg width='+W+' height='+H+' style="border:1px solid #ddd;border-radius:6px;background:#fff">';
+ for(let g=0;g<=4;g++){const yv=ymax*g/4,y=sy(yv);
+  s+='<line x1='+L+' y1='+y+' x2='+(W-R)+' y2='+y+' stroke="#eee"/>'+
+     '<text x='+(L-6)+' y='+(y+4)+' font-size=10 text-anchor=end>'+yv.toFixed(1)+'</text>'}
+ for(let i=0;i<d.x.length;i++){
+  const sel=d.rank[i]>0, ch=d.change_it[i]>0;
+  s+='<circle cx='+sx(d.x[i]).toFixed(1)+' cy='+sy(d.t[i]).toFixed(1)+
+     ' r='+(sel?5:ch?3.4:2.4)+' fill="'+(sel?'#d7342f':ch?'#f09a38':cols[d.band[i]%2])+
+     '" data-i='+i+'/>';
+  if(sel)s+='<text x='+(sx(d.x[i])+5)+' y='+(sy(d.t[i])-5)+' font-size=10 fill="#d7342f">'+d.rank[i]+'</text>'}
+ for(let k=0;k<d.ticks.length;k++)
+  s+='<text x='+sx(d.ticks[k])+' y='+(H-B+16)+' font-size=10 text-anchor=middle>'+eeEsc(d.tick_labels[k])+'</text>';
+ s+='<text x='+(L+pw/2)+' y='+(H-6)+' font-size=11 text-anchor=middle>'+(d.ticks.length?'chromosome':'SNP index')+'</text>'+
+    '<text x=14 y='+(T+ph/2)+' font-size=11 text-anchor=middle transform="rotate(-90 14 '+(T+ph/2)+')">outlier statistic t</text></svg>';
+ wrap.innerHTML=s;
+ const svg=wrap.firstChild;
+ svg.addEventListener('mousemove',e=>{
+  const i=e.target.dataset?e.target.dataset.i:null;
+  if(i==null){tip.style.display='none';return}
+  tip.style.display='block';
+  tip.style.left=(e.clientX+12)+'px';tip.style.top=(e.clientY+12)+'px';
+  tip.innerHTML=eeEsc(d.name[i])+'<br>chr '+eeEsc(d.chr[i])+' : '+eeEsc(d.pos[i])+'<br>t = '+d.t[i].toFixed(2)+
+   (d.change_it[i]>0?'<br>changed at iteration '+d.change_it[i]:'')+
+   (d.rank[i]>0?'<br><b>selected #'+d.rank[i]+'</b>':'')});
+ svg.addEventListener('mouseleave',()=>tip.style.display='none')}
+"""
+
+_TIP_CSS = ("position:fixed;display:none;background:#222;color:#fff;"
+            "padding:.3rem .5rem;border-radius:4px;font-size:.8rem;"
+            "pointer-events:none;z-index:9")
+
+
+def render_manhattan_html(payload: dict, title: str = "eagle-tpu scan") -> str:
+    """Self-contained interactive Manhattan page (data inlined, no server).
+
+    ``payload`` is :func:`_plot_data`'s dict; the result is what
+    ``plot_am(save='scan.html')`` writes."""
+    return (
+        "<!DOCTYPE html>\n<html><head><meta charset='utf-8'><title>"
+        + title
+        + "</title></head>\n<body style='font-family:system-ui,sans-serif;"
+          "margin:2rem'>\n<h2>" + title + "</h2>\n"
+        "<div id=wrap style='position:relative'></div>\n"
+        "<div id=tip style='" + _TIP_CSS + "'></div>\n"
+        "<script>" + _MANHATTAN_JS + "\n"
+        "const DATA = " + json.dumps(payload) + ";\n"
+        "eeDrawManhattan(DATA, document.getElementById('wrap'),"
+        " document.getElementById('tip'));\n"
+        "</script></body></html>\n"
+    )
+
+
 _PAGE = """<!DOCTYPE html>
 <html><head><title>eagle-tpu</title><style>
 body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
@@ -31,7 +94,7 @@ fieldset{margin-bottom:1rem;border:1px solid #ccc;border-radius:6px}
 label{display:inline-block;min-width:9rem;margin:.2rem 0}
 input[type=text]{width:24rem}button{margin:.3rem .2rem;padding:.4rem .9rem}
 pre{background:#f6f6f6;padding: .7rem;border-radius:6px;overflow-x:auto}
-img{max-width:100%%;border:1px solid #ddd;border-radius:6px}
+img{max-width:100%;border:1px solid #ddd;border-radius:6px}
 .err{color:#b00}
 </style></head><body>
 <h1>eagle-tpu — multiple-locus association mapping</h1>
@@ -75,41 +138,14 @@ async function poll(){
 async function loadSummary(){
  const r=await (await fetch('/api/summary')).json();
  sumout.textContent=JSON.stringify(r,null,1); sumout.className=r.error?'err':''}
-function esc(s){return String(s).replace(/[&<>"']/g,
- c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]))}
 async function drawManhattan(){
  const d=await (await fetch('/api/plotdata')).json();
  if(d.error){manhwrap.textContent='ERROR: '+d.error;return}
- const W=980,H=360,L=55,B=40,T=18,R=12,pw=W-L-R,ph=H-B-T;
- const xmax=d.x.reduce((a,b)=>a>b?a:b,1),ymax=d.t.reduce((a,b)=>a>b?a:b,1)*1.06;
- const sx=v=>L+v/xmax*pw, sy=v=>T+ph-v/ymax*ph;
- const cols=['#3b4cc0','#8ea0cc'];
- let s='<svg width='+W+' height='+H+' style="border:1px solid #ddd;border-radius:6px;background:#fff">';
- for(let g=0;g<=4;g++){const yv=ymax*g/4,y=sy(yv);
-  s+='<line x1='+L+' y1='+y+' x2='+(W-R)+' y2='+y+' stroke="#eee"/>'+
-     '<text x='+(L-6)+' y='+(y+4)+' font-size=10 text-anchor=end>'+yv.toFixed(1)+'</text>'}
- for(let i=0;i<d.x.length;i++){
-  const sel=d.rank[i]>0, ch=d.change_it[i]>0;
-  s+='<circle cx='+sx(d.x[i]).toFixed(1)+' cy='+sy(d.t[i]).toFixed(1)+
-     ' r='+(sel?5:ch?3.4:2.4)+' fill="'+(sel?'#d7342f':ch?'#f09a38':cols[d.band[i]%2])+
-     '" data-i='+i+'/>';
-  if(sel)s+='<text x='+(sx(d.x[i])+5)+' y='+(sy(d.t[i])-5)+' font-size=10 fill="#d7342f">'+d.rank[i]+'</text>'}
- for(let k=0;k<d.ticks.length;k++)
-  s+='<text x='+sx(d.ticks[k])+' y='+(H-B+16)+' font-size=10 text-anchor=middle>'+esc(d.tick_labels[k])+'</text>';
- s+='<text x='+(L+pw/2)+' y='+(H-6)+' font-size=11 text-anchor=middle>'+(d.ticks.length?'chromosome':'SNP index')+'</text>'+
-    '<text x=14 y='+(T+ph/2)+' font-size=11 text-anchor=middle transform="rotate(-90 14 '+(T+ph/2)+')">outlier statistic t</text></svg>';
- manhwrap.innerHTML=s;
- const svg=manhwrap.firstChild;
- svg.addEventListener('mousemove',e=>{
-  const i=e.target.dataset?e.target.dataset.i:null;
-  if(i==null){tip.style.display='none';return}
-  const q=d;tip.style.display='block';
-  tip.style.left=(e.clientX+12)+'px';tip.style.top=(e.clientY+12)+'px';
-  tip.innerHTML=esc(q.name[i])+'<br>chr '+esc(q.chr[i])+' : '+esc(q.pos[i])+'<br>t = '+q.t[i].toFixed(2)+
-   (q.change_it[i]>0?'<br>changed at iteration '+q.change_it[i]:'')+
-   (q.rank[i]>0?'<br><b>selected #'+q.rank[i]+'</b>':'')});
- svg.addEventListener('mouseleave',()=>tip.style.display='none')}
+ eeDrawManhattan(d,manhwrap,tip)}
 </script></body></html>"""
+
+# inject the shared renderer into the page's script block
+_PAGE = _PAGE.replace("<script>", "<script>" + _MANHATTAN_JS, 1)
 
 
 def _plot_data(res, map_h, max_points: int = 20000) -> dict:

@@ -142,6 +142,14 @@ def test_plot_am_smoke(handles, tmp_path):
     out2 = str(tmp_path / "t.png")
     ee.plot_am(res, type="trace", save=out2)
     assert os.path.getsize(out2) > 1000
+    # interactive standalone export (reference PlotAM's plotly mode)
+    out3 = str(tmp_path / "p.html")
+    ret = ee.plot_am(res, map=map_h, save=out3)
+    assert ret == out3
+    html = open(out3).read()
+    assert "eeDrawManhattan" in html and '"rank"' in html
+    for j in res.indices:  # every selected marker's name ships in the data
+        assert str(map_h.marker_names[j]) in html
 
 
 def test_am_checkpoint_via_api(handles, tmp_path):
