@@ -94,6 +94,10 @@ def read_marker(
     type_l = type.lower()
     names = chrom = pos = None
     is_bed = type_l == "plink" and filename.endswith(".bed")
+    if not is_bed:
+        # transparent .gz support (text / .ped / VCF); .bed stays as-is
+        # (its .bim/.fam companions are path-derived)
+        filename = parsers.ensure_plain_text(filename)
 
     # auto-spill: a file bigger than the host-RAM budget goes straight to
     # the on-disk sharded store (reference: ReadMarker always writes the

@@ -11,6 +11,7 @@ Output convention everywhere: int8 matrix, individuals × SNPs, coded
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -257,6 +258,32 @@ def read_plink_bim(bed_path: str):
             names.append(parts[1])
             poss.append(int(parts[3]))
     return names, chroms, poss
+
+
+def ensure_plain_text(path: str) -> str:
+    """Transparent gzip support: a gzip-compressed genotype file (e.g. the
+    de-facto-standard ``.vcf.gz``) is stream-decompressed once to a cached
+    sibling (``x.vcf.gz`` → ``x.ungz.vcf``, preserving the extension so
+    type dispatch and the native mmap scanners work) and that path is
+    returned; plain files pass through untouched. The sibling is reused
+    while it is newer than the source — same spirit as the reference's
+    reusable packed-binary ingest artifacts (SURVEY.md §6.4)."""
+    with open(path, "rb") as f:
+        if f.read(2) != b"\x1f\x8b":
+            return path
+    base = path[:-3] if path.endswith(".gz") else path
+    root, ext = os.path.splitext(base)
+    out = root + ".ungz" + ext
+    if (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(path)):
+        return out
+    import gzip
+    import shutil
+    tmp = out + ".tmp"
+    with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+        shutil.copyfileobj(src, dst, length=1 << 24)
+    os.replace(tmp, out)
+    return out
 
 
 def vcf_dims(path: str) -> tuple[int, int]:

@@ -147,3 +147,32 @@ def test_read_marker_into_store(sim, tmp_path):
     h = read_marker(f, type="text", store_dir=d, n_shards=2)
     assert h.geno is None and h.store_dir == d
     np.testing.assert_array_equal(h.materialize(), sim.geno)
+
+
+def test_gzip_vcf_and_text(sim, tmp_path):
+    """Transparent .gz ingest: identical handles vs the plain files."""
+    import gzip
+    import shutil
+
+    vcf = str(tmp_path / "g.vcf")
+    simmod.write_vcf(sim, vcf)
+    with open(vcf, "rb") as s, gzip.open(str(tmp_path / "g.vcf.gz"), "wb") as d:
+        shutil.copyfileobj(s, d)
+    h_plain = read_marker(vcf, type="vcf")
+    h_gz = read_marker(str(tmp_path / "g.vcf.gz"), type="vcf")
+    np.testing.assert_array_equal(h_plain.materialize(), h_gz.materialize())
+    assert h_plain.marker_names == h_gz.marker_names
+
+    txt = str(tmp_path / "g.txt")
+    simmod.write_ascii_geno(sim, txt)
+    with open(txt, "rb") as s, gzip.open(str(tmp_path / "g.txt.gz"), "wb") as d:
+        shutil.copyfileobj(s, d)
+    np.testing.assert_array_equal(
+        read_marker(txt).materialize(),
+        read_marker(str(tmp_path / "g.txt.gz")).materialize(),
+    )
+    # decompressed sibling is cached and reused
+    from eagleeverything_tpu.io import parsers
+    p1 = parsers.ensure_plain_text(str(tmp_path / "g.vcf.gz"))
+    p2 = parsers.ensure_plain_text(str(tmp_path / "g.vcf.gz"))
+    assert p1 == p2 and p1.endswith(".ungz.vcf")
