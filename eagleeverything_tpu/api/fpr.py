@@ -41,12 +41,17 @@ def fpr4am(
     quiet: bool = True,
     config: EagleConfig = DEFAULT_CONFIG,
     perm_batch: Optional[int] = None,
+    engine: str = "auto",
 ) -> dict:
     """Return the calibrated λ (``setlambda``) for :func:`am`.
 
     Returns a dict with keys ``lambda`` (the calibrated weight),
     ``lambda_crits`` (the per-permutation critical weights), and
     ``falseposrate``/``numreps`` bookkeeping.
+
+    ``engine``: "auto" uses the shared-eigenbasis device-batched path and
+    switches to "matfree" above ``config.matfree_min_n`` individuals
+    (like :func:`am`); "eig"/"matfree" force a path.
     """
     prep = prepare_inputs(trait, geno, pheno, fformula, Zmat)
     y, X0, Z = prep.y, prep.X0, prep.Z
@@ -59,6 +64,14 @@ def fpr4am(
         raise ValueError(
             f"FPR calibration needs at least 2 SNPs (got p={p}): the "
             "extBIC penalty difference log C(p,1) is zero at p=1")
+
+    if engine == "auto":
+        engine = "matfree" if prep.handle.n > config.matfree_min_n else "eig"
+    if engine == "matfree":
+        return _fpr4am_matfree(prep, src, backend, falseposrate, numreps,
+                               seed, quiet)
+    if engine != "eig":
+        raise ValueError(f"unknown fpr4am engine {engine!r}")
 
     K_eff = engine_jax.normalized_kernel(backend.compute_K(), Z)
 
@@ -122,3 +135,61 @@ def fpr4am(
     }
 
 
+
+
+def _fpr4am_matfree(prep, src, backend, falseposrate: float, numreps: int,
+                    seed: int, quiet: bool) -> dict:
+    """FPR calibration at biobank n: the kernel is never materialized.
+
+    Same λ_crit algebra as the eigenbasis path, but LL₀/LL₁ come from
+    matrix-free REML (blocked-CG solves + cached SLQ logdet,
+    models/bigscan) and the per-permutation sweep is the two-stage
+    probe/exact score sweep. The SLQ probe set and Hutchinson scale s0
+    are shared across all permutations; each null fit warm-starts its δ
+    grid from the previous permutation's optimum (permutations are
+    exchangeable, so the optima cluster)."""
+    import math
+
+    from eagleeverything_tpu.models import bigscan
+
+    y, X0, Z = prep.y, prep.X0, prep.Z
+    n = y.shape[0]
+    p = src.p
+    ctx = bigscan.make_context(backend, n, Z=Z)
+
+    def column_f64(j):
+        return engine_jax._impute_column_f64(src.column(int(j)))
+
+    rng = np.random.default_rng(seed)
+    log_choose_p1 = math.log(p)
+    lam_crits = np.empty(numreps)
+    hint = None
+    for r in range(numreps):
+        y_perm = rng.permutation(y)
+        fit0 = bigscan.reml_maximize_matfree(ctx, y_perm, X0,
+                                             delta_hint=hint)
+        hint = fit0.delta
+        _, cand = bigscan.score_sweep_matfree(
+            ctx, backend, y_perm, X0, fit0, column_f64=column_f64, Z=Z)
+        w_col = column_f64(cand)
+        x_col = Z @ w_col if Z is not None else w_col
+        X1 = np.hstack([X0, x_col[:, None]])
+        fit1 = bigscan.reml_maximize_matfree(ctx, y_perm, X1,
+                                             delta_hint=fit0.delta)
+        lam_crits[r] = (
+            2.0 * (fit1.loglik - fit0.loglik) - math.log(n)
+        ) / (2.0 * log_choose_p1)
+        if not quiet:
+            print(f"[fpr4am:matfree] rep={r} cand={cand} "
+                  f"lambda_crit={lam_crits[r]:.4f}")
+
+    lam_star = max(float(np.quantile(lam_crits, 1.0 - falseposrate)), 0.0)
+    if not quiet:
+        print(f"[fpr4am:matfree] lambda* = {lam_star:.4f} "
+              f"for target FPR {falseposrate}")
+    return {
+        "lambda": lam_star,
+        "lambda_crits": lam_crits,
+        "falseposrate": falseposrate,
+        "numreps": numreps,
+    }

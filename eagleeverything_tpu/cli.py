@@ -173,10 +173,15 @@ def _run(args) -> int:
         return 0
 
     if args.cmd == "fpr4am":
+        # map the shared --engine flag onto fpr4am's paths ("jax"/"sharded"
+        # both mean the shared-eigenbasis device-batched calibration)
+        fpr_engine = {"jax": "eig", "sharded": "eig", "oracle": "eig"}.get(
+            args.engine, args.engine)
         out = ee.fpr4am(trait=args.trait, geno=geno, pheno=pheno,
                         fformula=args.fformula, Zmat=zmat,
                         falseposrate=args.falseposrate,
-                        numreps=args.numreps, seed=args.seed, quiet=False)
+                        numreps=args.numreps, seed=args.seed, quiet=False,
+                        engine=fpr_engine)
         print(f"calibrated lambda = {out['lambda']:.4f} "
               f"(target FPR {out['falseposrate']}, {out['numreps']} reps)")
         return 0

@@ -201,3 +201,20 @@ def test_matfree_checkpoint_resume(tmp_path):
                                              maxit=4, ckpt_dir=d,
                                              resume=True, **kw)
     assert resumed.indices == fresh.indices
+
+
+def test_fpr4am_matfree_matches_eig():
+    """FPR calibration via the matrix-free engine tracks the eigenbasis
+    path: identical permutations (same seed), λ_crit agrees per-rep up to
+    probe/CG tolerance, and the calibrated λ* is close."""
+    from eagleeverything_tpu.api.fpr import fpr4am
+
+    sim = simulate_dataset(n=80, p=400, seed=11)
+    r_eig = fpr4am("y", sim.geno, {"y": sim.y}, numreps=8, seed=5,
+                   engine="eig")
+    r_mf = fpr4am("y", sim.geno, {"y": sim.y}, numreps=8, seed=5,
+                  engine="matfree")
+    d = np.abs(np.asarray(r_eig["lambda_crits"])
+               - np.asarray(r_mf["lambda_crits"]))
+    assert float(np.median(d)) < 0.05
+    assert abs(r_eig["lambda"] - r_mf["lambda"]) < 0.2
