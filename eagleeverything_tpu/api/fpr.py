@@ -68,8 +68,9 @@ def fpr4am(
     if engine == "auto":
         engine = "matfree" if prep.handle.n > config.matfree_min_n else "eig"
     if engine == "matfree":
-        return _fpr4am_matfree(prep, src, backend, falseposrate, numreps,
-                               seed, quiet)
+        lam_crits = _matfree_lam_crits(prep, src, backend, numreps, seed,
+                                       quiet)
+        return _calibrate(lam_crits, falseposrate, numreps, quiet)
     if engine != "eig":
         raise ValueError(f"unknown fpr4am engine {engine!r}")
 
@@ -122,9 +123,14 @@ def fpr4am(
                 print(f"[fpr4am] rep={r} cand={cand} "
                       f"lambda_crit={lam_crits[r]:.4f}")
 
-    # λ* = (1-α) quantile; FPR(λ*) = P(λ_crit > λ*) ≈ α
-    lam_star = float(np.quantile(lam_crits, 1.0 - falseposrate))
-    lam_star = max(lam_star, 0.0)
+    return _calibrate(lam_crits, falseposrate, numreps, quiet)
+
+
+def _calibrate(lam_crits: np.ndarray, falseposrate: float, numreps: int,
+               quiet: bool) -> dict:
+    """λ* = (1-α) quantile of the λ_crit sample; FPR(λ*) = P(λ_crit>λ*) ≈ α.
+    Shared tail of both calibration engines."""
+    lam_star = max(float(np.quantile(lam_crits, 1.0 - falseposrate)), 0.0)
     if not quiet:
         print(f"[fpr4am] lambda* = {lam_star:.4f} for target FPR {falseposrate}")
     return {
@@ -135,10 +141,8 @@ def fpr4am(
     }
 
 
-
-
-def _fpr4am_matfree(prep, src, backend, falseposrate: float, numreps: int,
-                    seed: int, quiet: bool) -> dict:
+def _matfree_lam_crits(prep, src, backend, numreps: int,
+                       seed: int, quiet: bool) -> np.ndarray:
     """FPR calibration at biobank n: the kernel is never materialized.
 
     Same λ_crit algebra as the eigenbasis path, but LL₀/LL₁ come from
@@ -148,8 +152,6 @@ def _fpr4am_matfree(prep, src, backend, falseposrate: float, numreps: int,
     are shared across all permutations; each null fit warm-starts its δ
     grid from the previous permutation's optimum (permutations are
     exchangeable, so the optima cluster)."""
-    import math
-
     from eagleeverything_tpu.models import bigscan
 
     y, X0, Z = prep.y, prep.X0, prep.Z
@@ -182,14 +184,4 @@ def _fpr4am_matfree(prep, src, backend, falseposrate: float, numreps: int,
         if not quiet:
             print(f"[fpr4am:matfree] rep={r} cand={cand} "
                   f"lambda_crit={lam_crits[r]:.4f}")
-
-    lam_star = max(float(np.quantile(lam_crits, 1.0 - falseposrate)), 0.0)
-    if not quiet:
-        print(f"[fpr4am:matfree] lambda* = {lam_star:.4f} "
-              f"for target FPR {falseposrate}")
-    return {
-        "lambda": lam_star,
-        "lambda_crits": lam_crits,
-        "falseposrate": falseposrate,
-        "numreps": numreps,
-    }
+    return lam_crits

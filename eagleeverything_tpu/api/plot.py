@@ -58,6 +58,12 @@ def plot_am(
     if save is not None and save.endswith(".html"):
         if type != "manhattan":
             raise ValueError("interactive .html export is manhattan-only")
+        if itnum is not None:
+            raise ValueError(
+                "interactive .html export always shows each SNP's peak "
+                "statistic across iterations (with per-point "
+                "iteration-of-change tooltips); itnum= only applies to "
+                "static figure output")
         from eagleeverything_tpu import gui
         payload = gui._plot_data(res, map)
         html = gui.render_manhattan_html(

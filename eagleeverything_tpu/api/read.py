@@ -94,6 +94,11 @@ def read_marker(
     type_l = type.lower()
     names = chrom = pos = None
     is_bed = type_l == "plink" and filename.endswith(".bed")
+    orig_filename = filename
+    if type_l == "plink" and filename.endswith(".bed.gz"):
+        raise ValueError(
+            "gzipped binary PLINK (.bed.gz) is not supported — gunzip it "
+            "first (the .bim/.fam companions are located by the .bed path)")
     if not is_bed:
         # transparent .gz support (text / .ped / VCF); .bed stays as-is
         # (its .bim/.fam companions are path-derived)
@@ -113,9 +118,16 @@ def read_marker(
         blocks_iter = None
     elif type_l == "plink":
         blocks_iter = parsers.iter_plink_ped_blocks(filename)
-        # populate marker metadata from the .map companion when present
-        map_path = (filename[:-4] if filename.endswith(".ped")
-                    else filename) + ".map"
+        # populate marker metadata from the .map companion when present;
+        # for gzipped input the companion sits next to the ORIGINAL file
+        # (x.ped.gz -> x.map), not the decompressed sibling
+        def _map_candidate(path: str) -> str:
+            if path.endswith(".gz"):
+                path = path[:-3]
+            return (path[:-4] if path.endswith(".ped") else path) + ".map"
+        map_path = _map_candidate(filename)
+        if not os.path.exists(map_path):
+            map_path = _map_candidate(orig_filename)
         if os.path.exists(map_path):
             _names, _chrom, _pos = [], [], []
             with open(map_path) as f:

@@ -72,15 +72,22 @@ def render_manhattan_html(payload: dict, title: str = "eagle-tpu scan") -> str:
 
     ``payload`` is :func:`_plot_data`'s dict; the result is what
     ``plot_am(save='scan.html')`` writes."""
+    import html as _html
+
+    # marker/trait names come verbatim from user data files: escape the
+    # title, and keep '<' out of the inline <script> block so a name
+    # containing '</script>' can't terminate it
+    title_esc = _html.escape(title)
+    data_js = json.dumps(payload).replace("<", "\\u003c")
     return (
         "<!DOCTYPE html>\n<html><head><meta charset='utf-8'><title>"
-        + title
+        + title_esc
         + "</title></head>\n<body style='font-family:system-ui,sans-serif;"
-          "margin:2rem'>\n<h2>" + title + "</h2>\n"
+          "margin:2rem'>\n<h2>" + title_esc + "</h2>\n"
         "<div id=wrap style='position:relative'></div>\n"
         "<div id=tip style='" + _TIP_CSS + "'></div>\n"
         "<script>" + _MANHATTAN_JS + "\n"
-        "const DATA = " + json.dumps(payload) + ";\n"
+        "const DATA = " + data_js + ";\n"
         "eeDrawManhattan(DATA, document.getElementById('wrap'),"
         " document.getElementById('tip'));\n"
         "</script></body></html>\n"

@@ -160,16 +160,28 @@ def iter_vcf_blocks_native(
     lib = get_lib()
     if lib is None:
         return None
+    # probe open/close to decide native-vs-fallback WITHOUT holding the
+    # mmap + line index hostage to a generator that may never be iterated;
+    # gen() reopens (one extra memchr pass over the mapping — negligible
+    # next to the GT scan)
     n_samples = ctypes.c_int64()
     n_variants = ctypes.c_int64()
-    handle = lib.ee_vcf_open(
+    probe = lib.ee_vcf_open(
         path.encode(), ctypes.byref(n_samples), ctypes.byref(n_variants)
     )
-    if not handle:
+    if not probe:
         return None
+    lib.ee_vcf_close(probe)
 
     def gen():
         n = n_samples.value
+        handle = lib.ee_vcf_open(
+            path.encode(), ctypes.byref(ctypes.c_int64()),
+            ctypes.byref(ctypes.c_int64()),
+        )
+        if not handle:
+            raise ValueError(f"VCF became unreadable between open and "
+                             f"scan: {path}")
         try:
             while True:
                 dose = np.empty((block_snps, n), dtype=np.int8)

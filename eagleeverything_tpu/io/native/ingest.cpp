@@ -319,6 +319,20 @@ void* ee_vcf_open(const char* path, int64_t* n_samples,
     }
     if (n < 0) { st->mf.close(); delete st; return nullptr; }
     if (first_data == 0) first_data = i;
+    // metadata-width pre-check: CHROM/ID wider than the fixed slots is
+    // legal VCF the native path can't represent — decline the whole file
+    // here so callers use the Python parser (no mid-stream failure)
+    const char* e = st->mf.data + all[i].second;
+    const char* t1 = static_cast<const char*>(memchr(s, '\t', e - s));
+    if (!t1 || t1 - s >= kChromW) {
+      st->mf.close(); delete st; return nullptr;
+    }
+    const char* t2 = static_cast<const char*>(memchr(t1 + 1, '\t', e - t1 - 1));
+    const char* t3 = t2 ? static_cast<const char*>(
+        memchr(t2 + 1, '\t', e - t2 - 1)) : nullptr;
+    if (!t3 || t3 - t2 - 1 >= kIdW) {
+      st->mf.close(); delete st; return nullptr;
+    }
   }
   if (n <= 0) { st->mf.close(); delete st; return nullptr; }
   st->lines.assign(all.begin() + first_data, all.end());

@@ -279,10 +279,22 @@ def ensure_plain_text(path: str) -> str:
         return out
     import gzip
     import shutil
-    tmp = out + ".tmp"
-    with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
-        shutil.copyfileobj(src, dst, length=1 << 24)
-    os.replace(tmp, out)
+    import tempfile
+    # unique temp name: concurrent ingests of the same .gz (multi-host
+    # launchers, parallel test workers) must not interleave writes; the
+    # atomic replace makes the last finisher win with a complete file
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out) or ".",
+                               prefix=os.path.basename(out) + ".")
+    try:
+        with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
+            shutil.copyfileobj(src, dst, length=1 << 24)
+        os.replace(tmp, out)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return out
 
 

@@ -176,3 +176,30 @@ def test_gzip_vcf_and_text(sim, tmp_path):
     p1 = parsers.ensure_plain_text(str(tmp_path / "g.vcf.gz"))
     p2 = parsers.ensure_plain_text(str(tmp_path / "g.vcf.gz"))
     assert p1 == p2 and p1.endswith(".ungz.vcf")
+
+
+def test_gzip_ped_finds_map_companion(sim, tmp_path):
+    """x.ped.gz picks up marker metadata from x.map (not x.ungz.map)."""
+    import gzip
+    import os
+    import shutil
+
+    ped = str(tmp_path / "g.ped")
+    pmap = str(tmp_path / "g.map")
+    simmod.write_plink_ped(sim, ped, pmap)
+    plain = read_marker(ped, type="PLINK")
+    with open(ped, "rb") as s, gzip.open(ped + ".gz", "wb") as d:
+        shutil.copyfileobj(s, d)
+    os.unlink(ped)
+    h = read_marker(ped + ".gz", type="PLINK")
+    np.testing.assert_array_equal(h.materialize(), plain.materialize())
+    assert h.marker_names is not None
+    assert list(h.marker_names) == list(plain.marker_names)
+
+
+def test_bed_gz_clear_error(tmp_path):
+    import gzip
+    with gzip.open(str(tmp_path / "g.bed.gz"), "wb") as d:
+        d.write(b"\x6c\x1b\x01")
+    with pytest.raises(ValueError, match="gunzip"):
+        read_marker(str(tmp_path / "g.bed.gz"), type="PLINK")

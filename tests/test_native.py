@@ -212,3 +212,21 @@ def test_native_vcf_malformed_raises(tmp_path):
         _collect_vcf(f, use_native=True)
     with pytest.raises(Exception):
         _collect_vcf(f, use_native=False)
+
+
+def test_native_vcf_declines_oversized_metadata(tmp_path):
+    """Legal VCF with a >=128-char ID: native path declines at open,
+    the Python fallback parses it, results still correct."""
+    f = str(tmp_path / "wide.vcf")
+    long_id = ";".join(f"rs{i}" for i in range(60))  # > 128 chars
+    with open(f, "w") as fh:
+        fh.write("##x\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                 "\tFORMAT\tS1\tS2\n")
+        fh.write(f"1\t100\t{long_id}\tA\tB\t.\t.\t.\tGT\t0/1\t1/1\n")
+        fh.write("1\t200\trs_ok\tA\tB\t.\t.\t.\tGT\t0/0\t./.\n")
+    assert len(long_id) >= 128
+    assert native.iter_vcf_blocks_native(f) is None  # declines whole file
+    g, names, chroms, poss = _collect_vcf(f, use_native=True)  # falls back
+    np.testing.assert_array_equal(
+        g, np.array([[1, 2], [0, -9]], dtype=np.int8).T)
+    assert names[0] == long_id
