@@ -82,10 +82,15 @@ def am(
         )
     elif engine == "matfree":
         # biobank n-scale mode: K never materialized — CG/SLQ REML and the
-        # two-stage probe/exact score sweep (docs/design_biobank_scale.md)
+        # two-stage probe/exact score sweep (docs/design_biobank_scale.md).
+        # In a multi-process SPMD run each host streams only its SNP range
+        # and the kernel matvec psums across hosts (BASELINE config 4).
+        import jax
         from eagleeverything_tpu.models import bigscan, engine_jax
         src = engine_jax._make_source(prep.handle, prep.keep_individuals)
-        backend = engine_jax.TiledScan(src, config)
+        backend = (engine_jax.MultiHostTiledScan(src, config)
+                   if jax.process_count() > 1
+                   else engine_jax.TiledScan(src, config))
         res = bigscan.forward_select_matfree(
             prep.y, prep.X0, backend, maxit=maxit, fixit=fixit,
             lam_ebic=lam, quiet=quiet, Z=prep.Z, log_jsonl=log_jsonl,

@@ -413,7 +413,7 @@ def reml_maximize_matfree(
 
 def score_sweep_matfree(
     ctx: MatfreeContext,
-    backend,                     # TiledScan: sweep_dots / column access
+    backend,                     # TiledScan / MultiHostTiledScan
     y: np.ndarray,
     X: np.ndarray,
     fit: reml_core.RemlResult,
@@ -421,6 +421,8 @@ def score_sweep_matfree(
     exact_topk: int = 64,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     Z: Optional[np.ndarray] = None,
+    guard_sigmas: float = 4.0,
+    max_escalation_rounds: int = 4,
 ) -> tuple[np.ndarray, int]:
     """All-SNP outlier statistics without P̃ as a matrix.
 
@@ -432,15 +434,28 @@ def score_sweep_matfree(
     - diag(WᵀH⁻¹W): Hutchinson — E_z[(WᵀH^(-1/2)z)²] with H^(-1/2)z by
       Lanczos; one sweep_dots pass over the probe block.
     - The top ``exact_topk`` candidates by the probe estimate are rescored
-      EXACTLY (CG solves H⁻¹w_j for the short list), so the returned
-      argmax uses exact statistics (two-stage design,
-      docs/design_biobank_scale.md).
+      EXACTLY (CG solves H⁻¹w_j for the short list), THEN an escalation
+      guard rescored any SNP whose probe estimate, inflated to the upper
+      edge of the Hutchinson noise envelope (``guard_sigmas`` standard
+      errors of the diagonal estimate, relative std ≈ √(2/r)), could
+      still beat the shortlist maximum — so the returned argmax is exact
+      unless ``max_escalation_rounds`` is exhausted (bounded compute; each
+      round strictly shrinks the candidate set).
+
+    Multi-host SPMD: with a backend exposing ``snp_range`` (process-local
+    rows; MultiHostTiledScan), the per-SNP dot block stays host-local —
+    only the O(p) statistic vector, the O(k·q) shortlist rows, and the
+    variable-length escalation sets cross hosts (deterministic f64
+    collectives, utils/distributed). Every host executes the SAME CG
+    rescoring calls in lockstep, as the collective kernel matvec requires.
 
     Scale note: H here is built on the NORMALIZED kernel K/s0, while the
     w_j dotted against it are the raw recoded columns — but t_j is
     invariant to any uniform rescaling of w_j (it cancels between â² and
     σ²_g·vara, see models/oracle.py), so no column scaling is needed.
     """
+    from eagleeverything_tpu.utils import distributed
+
     X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     n, q = X.shape
 
@@ -457,43 +472,99 @@ def score_sweep_matfree(
 
     # one streamed pass computes all per-SNP dot products; with an
     # incidence matrix the effective sweep columns are Z·w_j, so dots
-    # against record-level vectors become Wᵀ·(Zᵀ·A)
+    # against record-level vectors become Wᵀ·(Zᵀ·A). On a multi-host
+    # backend D holds only this process's SNP rows.
     A = np.column_stack([Py, HiX, HZp])           # (n_rec, 1+q+r)
     D = backend.sweep_dots(Z.T @ A if Z is not None else A)
-    ahat = D[:, 0]
-    U = D[:, 1 : 1 + q]
-    WHZ = D[:, 1 + q :]
+    ahat_l = D[:, 0]
+    U_l = D[:, 1 : 1 + q]
+    WHZ_l = D[:, 1 + q :]
 
     XtHiX_inv = np.linalg.inv(XtHiX)
-    proj = np.einsum("jq,qr,jr->j", U, XtHiX_inv, U)
-    diag_est = np.mean(WHZ * WHZ, axis=1)
-    vara_est = fit.sigma2_g * np.maximum(diag_est - proj, 1e-12)
+    proj_l = np.einsum("jq,qr,jr->j", U_l, XtHiX_inv, U_l)
+    diag_l = np.mean(WHZ_l * WHZ_l, axis=1)
+    vara_l = fit.sigma2_g * np.maximum(diag_l - proj_l, 1e-12)
     with np.errstate(divide="ignore", invalid="ignore"):
-        t_est = np.where(vara_est > 1e-12, ahat * ahat / vara_est, 0.0)
+        t_est_l = np.where(vara_l > 1e-12, ahat_l * ahat_l / vara_l, 0.0)
+
+    mh = getattr(backend, "snp_range", None)
+    lo = mh[0] if mh is not None else 0
+    if mh is not None:
+        t_est = distributed.allgather_concat_f64(t_est_l, backend.local_sizes)
+        p = backend.p_global
+    else:
+        t_est = t_est_l
+        p = t_est.shape[0]
 
     if exact_topk <= 0 or column_f64 is None:
         return t_est, int(np.argmax(t_est))
 
-    # exact rescore of the probe-ranked short list
-    k = min(exact_topk, t_est.shape[0])
+    t = t_est.copy()
+    rescored = np.zeros(p, dtype=bool)
+    p_l = ahat_l.shape[0]
+
+    def rescore(idx: np.ndarray) -> np.ndarray:
+        """Exact t for global SNP indices idx: CG solves H⁻¹w_j (collective
+        in multi-host — identical calls on every host) + the (â, u) rows
+        gathered from their owning host."""
+        Wsel = np.column_stack([column_f64(int(j)) for j in idx])
+        if Z is not None:
+            Wsel = Z @ Wsel          # record-level effective columns
+        HiW = ctx.solve_block(fit.delta, Wsel)
+        diag_exact = np.sum(Wsel * HiW, axis=0)
+        rows = np.zeros((len(idx), 1 + q))
+        for i, j in enumerate(idx):
+            jl = int(j) - lo
+            if 0 <= jl < p_l:
+                rows[i, 0] = ahat_l[jl]
+                rows[i, 1:] = U_l[jl]
+        if mh is not None:
+            rows = distributed.allreduce_sum_f64(rows)
+        a_rows, u_rows = rows[:, 0], rows[:, 1:]
+        proj_r = np.einsum("jq,qr,jr->j", u_rows, XtHiX_inv, u_rows)
+        vara_r = fit.sigma2_g * np.maximum(diag_exact - proj_r, 1e-12)
+        return np.where(vara_r > 1e-12, a_rows * a_rows / vara_r, 0.0)
+
+    # stage 1: exact rescore of the probe-ranked short list
+    k = min(exact_topk, p)
     top = np.argpartition(t_est, -k)[-k:]
     top = top[np.argsort(-t_est[top], kind="stable")]
-    Wtop = np.column_stack([column_f64(int(j)) for j in top])
-    if Z is not None:
-        Wtop = Z @ Wtop          # record-level effective columns
-    HiW = ctx.solve_block(fit.delta, Wtop)
-    diag_exact = np.sum(Wtop * HiW, axis=0)
-    Utop = U[top]
-    proj_top = np.einsum("jq,qr,jr->j", Utop, XtHiX_inv, Utop)
-    vara_top = fit.sigma2_g * np.maximum(diag_exact - proj_top, 1e-12)
-    t_top = np.where(vara_top > 1e-12, ahat[top] ** 2 / vara_top, 0.0)
-    t = t_est.copy()
-    t[top] = t_top
-    # argmax over the exactly-rescored list (lowest index on ties)
-    best_local = int(np.argmax(t_top))
-    # a non-shortlisted SNP cannot beat the shortlist unless the probe
-    # estimate was badly wrong there — guard by comparing against t_est max
-    cand = int(top[best_local])
+    t[top] = rescore(top)
+    rescored[top] = True
+    t_best = float(t[top].max())
+
+    # stage 2 — escalation guard: with r probes the diagonal estimate has
+    # relative std ≈ √(2/r); any non-rescored SNP whose statistic at the
+    # guard_sigmas-deflated diagonal could exceed the current exact max is
+    # rescored too (the set is agreed globally so the collective CG calls
+    # stay in lockstep). Rounds strictly shrink the candidate set because
+    # rescored only grows and t_best only rises.
+    rel = min(0.9, guard_sigmas * math.sqrt(2.0 / max(diag_probes, 1)))
+    for _ in range(max_escalation_rounds):
+        vara_lb_l = fit.sigma2_g * np.maximum(
+            diag_l * (1.0 - rel) - proj_l, 1e-12)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_ub_l = np.where(vara_lb_l > 1e-12,
+                              ahat_l * ahat_l / vara_lb_l, 0.0)
+        t_ub_l = np.where(rescored[lo : lo + p_l], 0.0, t_ub_l)
+        cand_l = np.nonzero(t_ub_l > t_best)[0]
+        pairs_l = np.column_stack([
+            (cand_l + lo).astype(np.float64), t_ub_l[cand_l]])
+        pairs = (distributed.allgather_varlen_f64(pairs_l)
+                 if mh is not None else pairs_l)
+        if pairs.shape[0] == 0:
+            break  # every bound is dominated: the exact argmax is proven
+        # deterministic order: descending bound, ties by ascending index
+        order = np.lexsort((pairs[:, 0], -pairs[:, 1]))
+        esc = pairs[order[:k], 0].astype(np.int64)
+        t[esc] = rescore(esc)
+        rescored[esc] = True
+        t_best = max(t_best, float(t[esc].max()))
+
+    # argmax over exactly-rescored entries (ascending index order →
+    # lowest global index wins ties, the find_qtl contract)
+    exact_idx = np.nonzero(rescored)[0]
+    cand = int(exact_idx[int(np.argmax(t[exact_idx]))])
     return t, cand
 
 
@@ -607,13 +678,15 @@ def forward_select_matfree(
     K_eff = Z·K·Zᵀ is reached matrix-free too:
     K_eff·V = Z·(Wᵀ(W·(Zᵀ·V)))/s0 — Z never touches the device kernels.
     """
+    from eagleeverything_tpu.utils import distributed
     from eagleeverything_tpu.utils.logging import Phase, ScanLogger
 
     y = np.asarray(y, dtype=np.float64)
     X0 = np.asarray(X0, dtype=np.float64)
     n = y.shape[0]
-    p = backend.src.p
-    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl)
+    p = getattr(backend, "p_global", backend.src.p)
+    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl,
+                        is_host0=distributed.is_host0())
     if Z is not None:
         Z = np.asarray(Z, dtype=np.float64)
 
@@ -686,7 +759,7 @@ def forward_select_matfree(
             X, fit, best = X_new, fit_new, ebic_new
             extbic_path.append(ebic_new)
             loglik_path.append(fit_new.loglik)
-            if ckpt_dir is not None:
+            if ckpt_dir is not None and distributed.is_host0():
                 from eagleeverything_tpu.utils import checkpoint as ckpt
                 ckpt.save_scan_state(
                     ckpt_dir, selected, extbic_path, loglik_path,

@@ -129,6 +129,25 @@ class StoreTileSource(TileSource):
         return col if self._keep is None else col[self._keep]
 
 
+class RangeTileSource(TileSource):
+    """A view of a base source restricted to the SNP range [lo, hi) with
+    re-zeroed offsets — the process-local slice of the global genotype
+    matrix in multi-host SPMD runs (store shard ↔ host locality,
+    SURVEY.md §6.8)."""
+
+    def __init__(self, base: TileSource, lo: int, hi: int):
+        self.base, self.lo, self.hi = base, lo, hi
+        self.n = base.n
+        self.p = hi - lo
+
+    def tiles(self, tile_snps: int):
+        for j0, tile in self.base.tiles_in(self.lo, self.hi, tile_snps):
+            yield j0 - self.lo, tile
+
+    def column(self, j: int) -> np.ndarray:
+        return self.base.column(self.lo + j)
+
+
 def _make_source(handle: GenoHandle, keep: Optional[np.ndarray]) -> TileSource:
     if handle.geno is not None:
         return DenseTileSource(handle.geno, keep)
@@ -592,6 +611,59 @@ class TiledScan:
                 kernels.score_tile_batched(w, Lp_d, Py_d, s2g)
             )[:, :b]
         return out
+
+
+class MultiHostTiledScan(TiledScan):
+    """Multi-process SPMD backend for the matrix-free engine (BASELINE
+    config 4: biobank n × multi-host p).
+
+    Each process streams ONLY its SNP range [lo, hi) (store shard ↔ host
+    locality via ``tiles_in``); the two primitives the matfree engine
+    needs compose across processes:
+
+    - ``kernel_matvec``: K·V = Σ_hosts W_hᵀ(W_h·V) — the local partial
+      from the streamed device tiles, merged with one deterministic
+      host-f64 all-reduce (XLA collectives underneath; SURVEY.md §3.4's
+      psum-over-the-contraction-axis pattern at host granularity).
+    - ``sweep_dots``: returns the LOCAL (p_local, r) rows; the matfree
+      sweep gathers only the O(p) statistic vector and the O(k·q)
+      shortlist rows, never the full (p, r) dot block.
+
+    The one-dispatch device Krylov fast paths are disabled: their W stack
+    would hold only local rows, so the fused matvec would silently drop
+    the other hosts' contribution; the streamed host CG with the
+    collective matvec is the correct multi-host form.
+    """
+
+    def __init__(self, src: TileSource, config: EagleConfig):
+        from eagleeverything_tpu.utils import distributed
+
+        self.p_global = src.p
+        self.global_src = src
+        self.snp_range = distributed.process_snp_range(src.p)
+        self.local_sizes = distributed.local_snp_sizes(src.p)
+        super().__init__(RangeTileSource(src, *self.snp_range), config)
+        # per-host local streaming: never place tiles on a global-mesh
+        # sharding from a single process (non-addressable devices)
+        self._tile_sharding = None
+
+    def kernel_matvec(self, V: np.ndarray) -> np.ndarray:
+        from eagleeverything_tpu.utils import distributed
+
+        return distributed.allreduce_sum_f64(super().kernel_matvec(V))
+
+    def compute_K(self) -> np.ndarray:
+        from eagleeverything_tpu.utils import distributed
+
+        return distributed.allreduce_sum_f64(super().compute_K())
+
+    # the fused device Krylov paths assume the WHOLE W stack is local —
+    # fall back to the streamed host CG whose matvec is collective
+    def device_cg(self, *a, **k):
+        return None
+
+    def device_lanczos(self, *a, **k):
+        return None
 
 
 class ShardedScan:

@@ -218,3 +218,44 @@ def test_fpr4am_matfree_matches_eig():
                - np.asarray(r_mf["lambda_crits"]))
     assert float(np.median(d)) < 0.05
     assert abs(r_eig["lambda"] - r_mf["lambda"]) < 0.2
+
+
+def _guard_setup(seed, diag_probes):
+    sim = simulate_dataset(n=120, p=300, n_qtl=3, seed=seed, h2_qtl=0.4)
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    ctx = bigscan.make_context(backend, 120)
+    X0 = np.ones((120, 1))
+    fit = bigscan.reml_maximize_matfree(ctx, sim.y, X0)
+    col = lambda j: engine_jax._impute_column_f64(src.column(int(j)))
+    def sweep(**kw):
+        return bigscan.score_sweep_matfree(
+            ctx, backend, sim.y, X0, fit, diag_probes=diag_probes,
+            column_f64=col, **kw)
+    return sweep
+
+
+def test_matfree_escalation_guard_rescues_misranked_argmax():
+    """Adversarial case for the two-stage sweep (VERDICT weak #1): with
+    few Hutchinson probes the diag estimate misranks the true argmax out
+    of a small shortlist. Without the escalation guard the selection is
+    wrong; the guard rescored its way back to the exact argmax."""
+    sweep = _guard_setup(seed=4, diag_probes=16)
+    # ground truth: every SNP rescored exactly
+    _, cand_exact = sweep(exact_topk=300)
+    # ungated two-stage sweep: the old behavior (argmax of the shortlist)
+    _, cand_noguard = sweep(exact_topk=4, max_escalation_rounds=0)
+    assert cand_noguard != cand_exact  # the adversarial premise holds
+    # guarded sweep recovers the exact argmax
+    _, cand_guard = sweep(exact_topk=4)
+    assert cand_guard == cand_exact
+
+
+@pytest.mark.parametrize("seed", [0, 3, 7, 11, 15])
+def test_matfree_escalation_guard_property(seed):
+    """Property: across seeds, the guarded two-stage sweep with a tiny
+    shortlist agrees with the rescore-everything sweep."""
+    sweep = _guard_setup(seed=seed, diag_probes=16)
+    _, cand_exact = sweep(exact_topk=300)
+    _, cand_guard = sweep(exact_topk=4)
+    assert cand_guard == cand_exact
