@@ -56,38 +56,109 @@ class GenotypeStore:
         source: str = "",
     ) -> "GenotypeStore":
         """Ingest from individuals-major row blocks (as text parsers yield)
-        via an out-of-core blocked transpose (reference: ``createM`` then
-        ``createMt``, SURVEY.md §4.1).
+        via a biobank-safe chunked two-pass transpose (reference:
+        ``createM`` then ``createMt``, SURVEY.md §4.1).
 
-        A temporary individuals-major memmap is filled block by block, then
-        transposed shard-by-shard within the ``availmem_gb`` budget. (The
-        temp costs n·p bytes of disk; a temp-free chunked transpose is a
-        planned optimization for biobank-scale ingest.)
+        Pass 1 streams rows into a RAM buffer bounded by ``availmem_gb``;
+        each flush transposes the buffered individuals and APPENDS the
+        already-ENCODED column-slab to one temp file per shard (slab
+        widths are multiples of 4 individuals, so 2-bit slabs concatenate
+        byte-aligned). Pass 2 stitches each shard's slabs into the final
+        row-per-SNP file with purely sequential reads/writes, deleting the
+        temp as it goes. Peak scratch disk ≈ one encoded store (the temps)
+        on top of the final store — never the n·p int8 row-major temp the
+        naive blocked transpose needs — and RAM never exceeds the buffer
+        plus one transposed slab. When everything fits in one flush the
+        slab IS the shard and is renamed, not copied.
         """
         os.makedirs(dir, exist_ok=True)
-        tmp = os.path.join(dir, "_rowmajor.tmp")
-        n = 0
-        p = None
-        with open(tmp, "wb") as f:
-            for blk in row_blocks:
-                blk = np.ascontiguousarray(blk, dtype=np.int8)
-                if p is None:
-                    p = blk.shape[1]
-                elif blk.shape[1] != p:
-                    raise ValueError("inconsistent SNP count across row blocks")
-                f.write(blk.tobytes())
-                n += blk.shape[0]
-        if p is None:
+        it = iter(row_blocks)
+        first = next(it, None)
+        if first is None:
             raise ValueError("no genotype rows")
-        M = np.memmap(tmp, dtype=np.int8, mode="r", shape=(n, p))
-        store = cls._write_shards(
-            dir, lambda j0, j1: np.ascontiguousarray(M[:, j0:j1].T),
-            n=n, p=p, n_shards=n_shards, availmem_gb=availmem_gb,
-            packed=packed, source=source,
-        )
-        del M
-        os.remove(tmp)
-        return store
+        first = np.ascontiguousarray(first, dtype=np.int8)
+        p = first.shape[1]
+        offsets = cls._shard_plan(p, n_shards)
+        ns = len(offsets) - 1
+        # buffer rows: a multiple of 4 (2-bit slab alignment), sized so
+        # buffer + the largest transposed slab stay inside availmem_gb
+        rows_cap = max(4, (int(availmem_gb * 1e9 / 1.5) // max(p, 1)) // 4 * 4)
+        buf = np.empty((rows_cap, p), dtype=np.int8)
+        tmp_paths = [os.path.join(dir, f"_slab_{k:05d}.tmp")
+                     for k in range(ns)]
+        tmps = [open(tp, "wb") for tp in tmp_paths]
+        slab_rows: list[int] = []    # individuals per flush
+        n = 0
+        fill = 0
+
+        def flush():
+            nonlocal fill
+            if fill == 0:
+                return
+            for k in range(ns):
+                j0, j1 = offsets[k], offsets[k + 1]
+                tmps[k].write(_encode(
+                    np.ascontiguousarray(buf[:fill, j0:j1].T), packed))
+            slab_rows.append(fill)
+            fill = 0
+
+        def push(blk: np.ndarray):
+            nonlocal fill, n
+            r0 = 0
+            while r0 < blk.shape[0]:
+                take = min(rows_cap - fill, blk.shape[0] - r0)
+                buf[fill : fill + take] = blk[r0 : r0 + take]
+                fill += take
+                r0 += take
+                n += take
+                if fill == rows_cap:
+                    flush()
+
+        try:
+            push(first)
+            for blk in it:
+                blk = np.ascontiguousarray(blk, dtype=np.int8)
+                if blk.shape[1] != p:
+                    raise ValueError("inconsistent SNP count across row blocks")
+                push(blk)
+            flush()
+        finally:
+            for f in tmps:
+                f.close()
+        del buf
+
+        # pass 2: stitch slabs → final shards (sequential I/O both ways)
+        row_b = ((n + 3) // 4) if packed else n
+        slab_b = [((r + 3) // 4) if packed else r for r in slab_rows]
+        for k in range(ns):
+            j0, j1 = offsets[k], offsets[k + 1]
+            pk = j1 - j0
+            final = os.path.join(dir, f"shard_{k:05d}.bin")
+            if len(slab_rows) == 1:
+                os.replace(tmp_paths[k], final)   # slab == shard layout
+                continue
+            mm = np.memmap(tmp_paths[k], dtype=np.uint8, mode="r")
+            slabs = []
+            off = 0
+            for sb in slab_b:
+                slabs.append(mm[off : off + pk * sb].reshape(pk, sb))
+                off += pk * sb
+            tile = max(1, int(availmem_gb * 1e9 / 2 / max(row_b, 1)))
+            with open(final, "wb") as f:
+                for t0 in range(0, pk, tile):
+                    t1 = min(t0 + tile, pk)
+                    out = np.empty((t1 - t0, row_b), dtype=np.uint8)
+                    c = 0
+                    for sl, sb in zip(slabs, slab_b):
+                        out[:, c : c + sb] = sl[t0:t1]
+                        c += sb
+                    f.write(out.tobytes())
+            del slabs, mm
+            os.remove(tmp_paths[k])
+
+        cls._write_manifest(dir, n, p, offsets, packed, source)
+        return cls(dir=dir, n=n, p=p, shard_offsets=offsets,
+                   packed=packed, source=source)
 
     @classmethod
     def create_from_dense(

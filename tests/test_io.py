@@ -203,3 +203,26 @@ def test_bed_gz_clear_error(tmp_path):
         d.write(b"\x6c\x1b\x01")
     with pytest.raises(ValueError, match="gunzip"):
         read_marker(str(tmp_path / "g.bed.gz"), type="PLINK")
+
+
+def test_store_from_row_blocks_packed_multiflush(tmp_path):
+    """Biobank-safe chunked transpose, 2-bit packed: many buffer flushes
+    with a non-multiple-of-4 trailing slab must still produce byte-aligned
+    packed rows; no scratch temp may survive."""
+    import os
+    rng = np.random.default_rng(123)
+    geno = rng.integers(0, 3, size=(57, 101)).astype(np.int8)
+    geno[rng.random(geno.shape) < 0.05] = -9
+    d = str(tmp_path / "storep")
+
+    def blocks():
+        for i0 in range(0, 57, 13):
+            yield geno[i0 : i0 + 13]
+
+    st = GenotypeStore.create_from_row_blocks(
+        d, blocks(), n_shards=3, availmem_gb=2e-6, packed=True)
+    np.testing.assert_array_equal(st.to_dense(), geno)
+    st2 = GenotypeStore.open(d)
+    np.testing.assert_array_equal(st2.column(100), geno[:, 100])
+    leftovers = [f for f in os.listdir(d) if f.endswith(".tmp")]
+    assert leftovers == []
