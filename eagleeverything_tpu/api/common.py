@@ -53,7 +53,9 @@ def prepare_inputs(
     n_rec = y_full.shape[0]
     X_full, xnames = build_design(columns, fformula, n_rec)
 
-    used = [y_full] + [X_full[:, j] for j in range(1, X_full.shape[1])]
+    # every design column is NA-checked (an all-ones intercept is inert;
+    # under '-1' formulas column 0 is a real term)
+    used = [y_full] + [X_full[:, j] for j in range(X_full.shape[1])]
     drop = na_rows(*used)
     keep = np.setdiff1d(np.arange(n_rec), drop)
     y = y_full[keep]

@@ -155,3 +155,77 @@ def test_packed_store_device_unpack_matches_dense(tmp_path):
     assert r_p.indices == r_d.indices
     # K is f32-accumulated in a different tile order → ~1e-8 extBIC drift
     np.testing.assert_allclose(r_p.extbic_path, r_d.extbic_path, rtol=1e-6)
+
+
+def test_design_builder_interactions_and_transforms():
+    """Formula surface parity vs manually built designs (SURVEY §3.2
+    design-builder row): a:b, a*b, -1, transforms, factor crossings."""
+    import numpy as np
+    from eagleeverything_tpu.api.design import build_design
+
+    n = 10
+    rng = np.random.default_rng(0)
+    age = rng.uniform(20, 60, n)
+    wt = rng.uniform(50, 90, n)
+    sex = np.array(["m", "f"] * 5)
+    ph = {"age": age, "wt": wt, "sex": sex}
+
+    # interaction of two numerics
+    X, names = build_design(ph, "~ age : wt", n)
+    assert names == ["(Intercept)", "age:wt"]
+    np.testing.assert_allclose(X[:, 1], age * wt)
+
+    # crossing expands to main effects + interaction, no duplicates
+    X, names = build_design(ph, "age * wt", n)
+    assert names == ["(Intercept)", "age", "wt", "age:wt"]
+    np.testing.assert_allclose(X[:, 3], age * wt)
+
+    # numeric × factor: interaction per non-baseline level
+    X, names = build_design(ph, "age + sex + age:sex", n)
+    assert names == ["(Intercept)", "age", "sexm", "age:sexm"]
+    np.testing.assert_allclose(X[:, 3], age * (sex == "m"))
+
+    # intercept removal, both spellings
+    for f in ("age - 1", "-1 + age", "0 + age"):
+        X, names = build_design(ph, f, n)
+        assert names == ["age"], f
+        np.testing.assert_allclose(X[:, 0], age)
+
+    # transforms + I()
+    X, names = build_design(ph, "log(age) + sqrt(wt) + I(age^2)", n)
+    assert names == ["(Intercept)", "log(age)", "sqrt(wt)", "I(age^2)"]
+    np.testing.assert_allclose(X[:, 1], np.log(age))
+    np.testing.assert_allclose(X[:, 2], np.sqrt(wt))
+    np.testing.assert_allclose(X[:, 3], age**2)
+
+    # clear errors for unsupported grammar
+    import pytest
+    with pytest.raises(ValueError, match="supported formula grammar"):
+        build_design(ph, "poly(age, 2)", n)
+    with pytest.raises(ValueError, match="not supported"):
+        build_design(ph, "age - wt", n)
+    with pytest.raises(KeyError):
+        build_design(ph, "height", n)
+
+
+def test_am_with_interaction_formula():
+    """End-to-end am() with an interaction formula matches a manually
+    augmented design run."""
+    import numpy as np
+    from eagleeverything_tpu.api.am import am
+    from eagleeverything_tpu.data.simulate import simulate_dataset
+
+    sim = simulate_dataset(n=100, p=200, n_qtl=2, seed=3, h2_qtl=0.5)
+    rng = np.random.default_rng(5)
+    age = rng.uniform(0, 1, 100)
+    sex = np.array(["m", "f"] * 50)
+    y = sim.y + 0.5 * age * (sex == "m")
+    ph = {"y": y, "age": age, "sex": sex}
+    r1 = am("y", sim.geno, ph, fformula="age * sex", maxit=3)
+    # manual design: intercept handled by build_design-free path — use
+    # the dict columns directly
+    ph2 = {"y": y, "age": age, "sex": sex,
+           "agesexm": age * (sex == "m")}
+    r2 = am("y", sim.geno, ph2, fformula="age + sex + agesexm", maxit=3)
+    assert r1.indices == r2.indices
+    np.testing.assert_allclose(r1.extbic_path, r2.extbic_path, rtol=1e-9)
