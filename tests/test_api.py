@@ -259,3 +259,35 @@ def test_fpr_calibration_out_of_sample(handles):
     assert float(np.mean(crits > cal["lambda"] * 2)) <= fpr_at_star
     # and lambda=0 would fire on (nearly) every permutation
     assert float(np.mean(crits > 0)) >= 0.8
+
+
+def test_fpr_lambda_crit_brute_force_grid(handles):
+    """Brute-force verification of the FPR4AM semantics (SURVEY §4.3): for
+    several permutations, rerunning the FULL am() over a λ grid must
+    reproduce "≥1 (false) marker selected ⇔ λ < λ_crit" at every grid
+    point. (A scan selects ≥1 marker iff its FIRST step accepts — extBIC
+    acceptance is monotone in λ — so the analytic first-step rule equals
+    the reference's 'smallest λ with ≥1 false selection'; PARITY.md
+    deviation ledger row F1.)"""
+    geno, pheno, _, _ = handles
+    numreps = 4
+    out = ee.fpr4am(trait="y", geno=geno, pheno=pheno, fformula="age + sex",
+                    numreps=numreps, seed=23)
+    from eagleeverything_tpu.api.common import prepare_inputs
+    prep = prepare_inputs("y", geno, pheno, "age + sex", None)
+    rng = np.random.default_rng(23)
+    perms = [rng.permutation(prep.y) for _ in range(numreps)]
+    checked = 0
+    for r in range(numreps):
+        lam_crit = float(out["lambda_crits"][r])
+        cols = {"y": _reinsert(perms[r], prep),
+                "age": pheno.columns["age"], "sex": pheno.columns["sex"]}
+        for lam in (0.05, 0.5, 1.0, 2.0):
+            if abs(lam - lam_crit) < 0.02:
+                continue  # knife-edge: numerically undefined side
+            res = ee.am(trait="y", geno=geno, pheno=cols,
+                        fformula="age + sex", maxit=5, lam=lam)
+            assert (len(res.indices) >= 1) == (lam < lam_crit), \
+                (r, lam, lam_crit, res.indices)
+            checked += 1
+    assert checked >= 12
