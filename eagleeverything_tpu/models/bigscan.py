@@ -759,7 +759,9 @@ def forward_select_matfree(
             X, fit, best = X_new, fit_new, ebic_new
             extbic_path.append(ebic_new)
             loglik_path.append(fit_new.loglik)
-            if ckpt_dir is not None and distributed.is_host0():
+            # every host writes (bit-identical replicated decision state):
+            # works with shared AND host-local ckpt dirs; writes are atomic
+            if ckpt_dir is not None:
                 from eagleeverything_tpu.utils import checkpoint as ckpt
                 ckpt.save_scan_state(
                     ckpt_dir, selected, extbic_path, loglik_path,

@@ -42,10 +42,12 @@ def save_scan_state(
         "sigma2_e": float(sigma2_e),
         "meta": meta or {},
     }
-    tmp = os.path.join(ckpt_dir, _STATE + ".tmp")
+    tmp = os.path.join(ckpt_dir, f"{_STATE}.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1)
-    os.replace(tmp, os.path.join(ckpt_dir, _STATE))  # atomic
+    # atomic, and race-safe under concurrent SPMD writers: each host uses
+    # its OWN tmp name (contents are bit-identical; last replace wins)
+    os.replace(tmp, os.path.join(ckpt_dir, _STATE))
 
 
 def load_scan_state(ckpt_dir: str) -> Optional[dict]:
@@ -113,7 +115,7 @@ def genotype_content_token(handle) -> str:
 
 def save_mmt(ckpt_dir: str, key: str, K_raw: np.ndarray) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
-    tmp = os.path.join(ckpt_dir, f"mmt_{key}.npy.tmp")
+    tmp = os.path.join(ckpt_dir, f"mmt_{key}.npy.tmp.{os.getpid()}")
     with open(tmp, "wb") as f:
         np.save(f, K_raw)  # file handle: avoids np.save's .npy suffixing
     os.replace(tmp, os.path.join(ckpt_dir, f"mmt_{key}.npy"))
@@ -130,7 +132,7 @@ def save_eig(ckpt_dir: str, key: str, d: np.ndarray, U: np.ndarray) -> None:
     """Cache the eigendecomposition of the (normalized) kernel — like MMt
     it is iteration- and permutation-invariant."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    tmp = os.path.join(ckpt_dir, f"eig_{key}.npz.tmp")
+    tmp = os.path.join(ckpt_dir, f"eig_{key}.npz.tmp.{os.getpid()}")
     with open(tmp, "wb") as f:
         np.savez(f, d=d, U=U)
     os.replace(tmp, os.path.join(ckpt_dir, f"eig_{key}.npz"))
