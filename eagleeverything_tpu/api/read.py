@@ -74,6 +74,7 @@ def read_marker(
     n_shards: Optional[int] = None,
     packed: bool = False,
     quiet: bool = True,
+    ncpu: int = 0,
 ) -> GenoHandle:
     """Ingest genotypes (reference: ``ReadMarker()``, SURVEY.md §3.1/§4.1).
 
@@ -88,7 +89,42 @@ def read_marker(
       n_shards: shard count for the store (default: local device count).
       packed: store shards 2-bit packed (4× smaller; reference's
         packed-binary spirit).
+      ncpu: thread cap for the native recode pool — the reference's
+        ``ncpu`` argument (SURVEY.md §3.4 row 1). 0 (default) uses all
+        hardware threads.
     """
+    if ncpu < 0:
+        raise ValueError(f"ncpu must be >= 0, got {ncpu}")
+    # the native pool reads EE_NCPU at dispatch time (io/native/ingest.cpp
+    # hw_threads); scope the override to this call
+    old = os.environ.get("EE_NCPU")
+    if ncpu > 0:
+        os.environ["EE_NCPU"] = str(int(ncpu))
+    try:
+        return _read_marker_impl(filename, type, AA, AB, BB, missing,
+                                 availmemGb, store_dir, n_shards, packed,
+                                 quiet)
+    finally:
+        if ncpu > 0:
+            if old is None:
+                os.environ.pop("EE_NCPU", None)
+            else:
+                os.environ["EE_NCPU"] = old
+
+
+def _read_marker_impl(
+    filename: str,
+    type: str,
+    AA: str,
+    AB: str,
+    BB: str,
+    missing: str,
+    availmemGb: float,
+    store_dir: Optional[str],
+    n_shards: Optional[int],
+    packed: bool,
+    quiet: bool,
+) -> GenoHandle:
     from eagleeverything_tpu.io.genostore import GenotypeStore
 
     type_l = type.lower()

@@ -10,6 +10,7 @@
 // Build: g++ -O3 -shared -fPIC -pthread ingest.cpp -o libeagleingest.so
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
 #include <string>
@@ -112,6 +113,12 @@ void build_char_lut(const Codes& c, int8_t lut[256]) {
 }
 
 int hw_threads() {
+  // EE_NCPU caps the recode thread pool — the reference's `ncpu` knob
+  // (SURVEY.md §3.4 row 1); unset/0 → all hardware threads.
+  if (const char* env = std::getenv("EE_NCPU")) {
+    int v = std::atoi(env);
+    if (v > 0) return v;
+  }
   unsigned n = std::thread::hardware_concurrency();
   return n == 0 ? 4 : static_cast<int>(n);
 }

@@ -230,3 +230,26 @@ def test_native_vcf_declines_oversized_metadata(tmp_path):
     np.testing.assert_array_equal(
         g, np.array([[1, 2], [0, -9]], dtype=np.int8).T)
     assert names[0] == long_id
+
+
+def test_ncpu_knob_scopes_env_and_matches_default(sim, tmp_path):
+    """read_marker(ncpu=k) caps the native recode pool via EE_NCPU for the
+    duration of the call only, and a 1-thread ingest is bit-identical to
+    the all-threads ingest (reference: the ncpu argument, SURVEY §3.4)."""
+    import os
+    f = str(tmp_path / "g.txt")
+    simmod.write_ascii_geno(sim, f)
+    assert "EE_NCPU" not in os.environ
+    h1 = read_marker(f, ncpu=1)
+    assert "EE_NCPU" not in os.environ  # restored after the call
+    h_all = read_marker(f)
+    np.testing.assert_array_equal(h1.geno, h_all.geno)
+    os.environ["EE_NCPU"] = "3"
+    try:
+        h2 = read_marker(f, ncpu=2)  # override then restore the prior value
+        assert os.environ["EE_NCPU"] == "3"
+        np.testing.assert_array_equal(h2.geno, h_all.geno)
+    finally:
+        os.environ.pop("EE_NCPU", None)
+    with pytest.raises(ValueError):
+        read_marker(f, ncpu=-2)
