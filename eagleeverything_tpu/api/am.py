@@ -94,7 +94,9 @@ def am(
         res = bigscan.forward_select_matfree(
             prep.y, prep.X0, backend, maxit=maxit, fixit=fixit,
             lam_ebic=lam, quiet=quiet, Z=prep.Z, log_jsonl=log_jsonl,
-            column_f64=lambda j: engine_jax._impute_column_f64(src.column(j)),
+            # backend.column_f64: local read single-process; owning-host
+            # broadcast in SPMD (no shared-filesystem assumption)
+            column_f64=backend.column_f64,
             ckpt_dir=ckpt_dir, resume=resume,
         )
     else:

@@ -58,8 +58,14 @@ def fpr4am(
     n = y.shape[0]
 
     src = engine_jax._make_source(prep.handle, prep.keep_individuals)
-    backend = engine_jax.TiledScan(src, config)
-    p = src.p
+    # SPMD: each process streams only its SNP range; K/matvec merge with
+    # collectives, sweeps gather the global statistic vector, and columns
+    # broadcast from their owning host (SURVEY.md §4.3 × §6.8)
+    import jax as _jax
+    backend = (engine_jax.MultiHostTiledScan(src, config)
+               if _jax.process_count() > 1
+               else engine_jax.TiledScan(src, config))
+    p = getattr(backend, "p_global", src.p)
     if p < 2:
         raise ValueError(
             f"FPR calibration needs at least 2 SNPs (got p={p}): the "
@@ -112,7 +118,7 @@ def fpr4am(
             r = c0 + b
             fit0 = fits0[b]
             cand = int(np.argmax(t_all[b]))
-            w_col = engine_jax._impute_column_f64(src.column(cand))
+            w_col = backend.column_f64(cand)
             x_col = Z @ w_col if Z is not None else w_col
             Xs1 = np.hstack([Xs0, (U.T @ x_col)[:, None]])
             fit1 = reml_core.reml_maximize_diag(d_eig, ystars[b], Xs1)
@@ -158,9 +164,7 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
     n = y.shape[0]
     p = src.p
     ctx = bigscan.make_context(backend, n, Z=Z)
-
-    def column_f64(j):
-        return engine_jax._impute_column_f64(src.column(int(j)))
+    column_f64 = backend.column_f64
 
     rng = np.random.default_rng(seed)
     log_choose_p1 = math.log(p)
@@ -171,7 +175,7 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
         fit0 = bigscan.reml_maximize_matfree(ctx, y_perm, X0,
                                              delta_hint=hint)
         hint = fit0.delta
-        _, cand = bigscan.score_sweep_matfree(
+        _, cand, _ = bigscan.score_sweep_matfree(
             ctx, backend, y_perm, X0, fit0, column_f64=column_f64, Z=Z)
         w_col = column_f64(cand)
         x_col = Z @ w_col if Z is not None else w_col

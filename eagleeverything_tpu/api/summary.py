@@ -42,11 +42,16 @@ def summary_am(
     y, X0, Z = prep.y, prep.X0, prep.Z
 
     src = engine_jax._make_source(prep.handle, prep.keep_individuals)
-    backend = engine_jax.TiledScan(src, config)
+    # SPMD: local-range streaming, collective K/matvec, owning-host
+    # column broadcast — summary composes with host-local store shards
+    import jax as _jax
+    backend = (engine_jax.MultiHostTiledScan(src, config)
+               if _jax.process_count() > 1
+               else engine_jax.TiledScan(src, config))
 
     idx = list(res.indices)
     Wcols = np.column_stack(
-        [engine_jax._impute_column_f64(src.column(j)) for j in idx]
+        [backend.column_f64(j) for j in idx]
     ) if idx else np.zeros((src.n, 0))
     if Z is not None:
         Wcols = Z @ Wcols

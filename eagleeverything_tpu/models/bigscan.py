@@ -423,7 +423,8 @@ def score_sweep_matfree(
     Z: Optional[np.ndarray] = None,
     guard_sigmas: float = 4.0,
     max_escalation_rounds: int = 4,
-) -> tuple[np.ndarray, int]:
+    exclude: Optional[list[int]] = None,
+) -> tuple[np.ndarray, int, dict]:
     """All-SNP outlier statistics without P̃ as a matrix.
 
       t_j = â_j² / (σ²_g·vara_j),  â_j = w_jᵀ·P̃y,
@@ -440,7 +441,17 @@ def score_sweep_matfree(
       errors of the diagonal estimate, relative std ≈ √(2/r)), could
       still beat the shortlist maximum — so the returned argmax is exact
       unless ``max_escalation_rounds`` is exhausted (bounded compute; each
-      round strictly shrinks the candidate set).
+      round strictly shrinks the candidate set). Exhaustion with live
+      candidates is LOUD: it is reported in the returned info dict, never
+      silently folded into the argmax.
+    - ``exclude`` (already-selected SNPs) are masked out BEFORE the
+      shortlist, so the returned candidate is never a selected SNP and
+      the decision never falls back to non-rescored estimates.
+
+    Returns ``(t, cand, info)`` where ``info`` carries the guard
+    bookkeeping: ``escalation_rounds`` executed, ``exhausted`` (True iff
+    candidates still violated the noise bound when the round budget ran
+    out — the argmax is then unproven), and ``n_rescored``.
 
     Multi-host SPMD: with a backend exposing ``snp_range`` (process-local
     rows; MultiHostTiledScan), the per-SNP dot block stays host-local —
@@ -496,11 +507,21 @@ def score_sweep_matfree(
         t_est = t_est_l
         p = t_est.shape[0]
 
+    excluded = np.zeros(p, dtype=bool)
+    if exclude is not None and len(exclude) > 0:
+        excluded[np.asarray(list(exclude), dtype=np.int64)] = True
+        t_est[excluded] = 0.0
+
     if exact_topk <= 0 or column_f64 is None:
-        return t_est, int(np.argmax(t_est))
+        cand = int(np.argmax(t_est))
+        return t_est, cand, {"escalation_rounds": 0, "exhausted": False,
+                             "n_rescored": 0}
 
     t = t_est.copy()
     rescored = np.zeros(p, dtype=bool)
+    # excluded SNPs never enter the shortlist, the escalation bound, or
+    # the final argmax — treat them as already-settled at t = 0
+    rescored[excluded] = True
     p_l = ahat_l.shape[0]
 
     def rescore(idx: np.ndarray) -> np.ndarray:
@@ -525,9 +546,13 @@ def score_sweep_matfree(
         vara_r = fit.sigma2_g * np.maximum(diag_exact - proj_r, 1e-12)
         return np.where(vara_r > 1e-12, a_rows * a_rows / vara_r, 0.0)
 
-    # stage 1: exact rescore of the probe-ranked short list
-    k = min(exact_topk, p)
-    top = np.argpartition(t_est, -k)[-k:]
+    # stage 1: exact rescore of the probe-ranked short list (non-excluded)
+    elig = np.nonzero(~excluded)[0]
+    if elig.size == 0:
+        return t, 0, {"escalation_rounds": 0, "exhausted": False,
+                      "n_rescored": 0}
+    k = min(exact_topk, elig.size)
+    top = elig[np.argpartition(t_est[elig], -k)[-k:]]
     top = top[np.argsort(-t_est[top], kind="stable")]
     t[top] = rescore(top)
     rescored[top] = True
@@ -540,7 +565,9 @@ def score_sweep_matfree(
     # stay in lockstep). Rounds strictly shrink the candidate set because
     # rescored only grows and t_best only rises.
     rel = min(0.9, guard_sigmas * math.sqrt(2.0 / max(diag_probes, 1)))
-    for _ in range(max_escalation_rounds):
+    rounds = 0
+    exhausted = False
+    for round_i in range(max_escalation_rounds + 1):
         vara_lb_l = fit.sigma2_g * np.maximum(
             diag_l * (1.0 - rel) - proj_l, 1e-12)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -554,18 +581,26 @@ def score_sweep_matfree(
                  if mh is not None else pairs_l)
         if pairs.shape[0] == 0:
             break  # every bound is dominated: the exact argmax is proven
+        if round_i == max_escalation_rounds:
+            # round budget spent with candidates still above the noise
+            # bound — the argmax below is UNPROVEN; report it loudly
+            exhausted = True
+            break
         # deterministic order: descending bound, ties by ascending index
         order = np.lexsort((pairs[:, 0], -pairs[:, 1]))
         esc = pairs[order[:k], 0].astype(np.int64)
         t[esc] = rescore(esc)
         rescored[esc] = True
         t_best = max(t_best, float(t[esc].max()))
+        rounds += 1
 
-    # argmax over exactly-rescored entries (ascending index order →
-    # lowest global index wins ties, the find_qtl contract)
-    exact_idx = np.nonzero(rescored)[0]
+    # argmax over exactly-rescored, non-excluded entries (ascending index
+    # order → lowest global index wins ties, the find_qtl contract)
+    exact_idx = np.nonzero(rescored & ~excluded)[0]
     cand = int(exact_idx[int(np.argmax(t[exact_idx]))])
-    return t, cand
+    info = {"escalation_rounds": rounds, "exhausted": exhausted,
+            "n_rescored": int(np.count_nonzero(rescored & ~excluded))}
+    return t, cand, info
 
 
 def gls_wald_stats_matfree(
@@ -723,16 +758,25 @@ def forward_select_matfree(
     if not quiet:
         print(f"[matfree] start: extBIC={best:.4f} delta={fit.delta:.4g}")
 
+    escalation_exhausted: list[int] = []
     for it in range(len(selected), maxit):
         with Phase(logger, "sweep", items=p):
-            t, cand = score_sweep_matfree(
+            # selected SNPs are masked INSIDE the sweep (exclude=), so the
+            # returned candidate is always an exactly-rescored, unselected
+            # SNP — no fallback argmax over probe estimates exists
+            t, cand, esc = score_sweep_matfree(
                 ctx, backend, y, X, fit,
                 diag_probes=diag_probes, exact_topk=exact_topk,
-                column_f64=column_f64, Z=Z,
+                column_f64=column_f64, Z=Z, exclude=selected,
             )
-        t[selected] = 0.0
-        if cand in selected:
-            cand = int(np.argmax(t))
+        if esc["exhausted"]:
+            # candidates above the Hutchinson noise bound were never
+            # exactly rescored: the argmax below is unproven. Surface it
+            # (log + result) instead of silently selecting on noise.
+            escalation_exhausted.append(it)
+            logger.event("escalation_exhausted", it=it,
+                         rounds=esc["escalation_rounds"],
+                         n_rescored=esc["n_rescored"])
         outlier_stats.append(t)
         if t[cand] <= 0.0:
             break  # exhausted (matches oracle/engine stop)
@@ -776,4 +820,5 @@ def forward_select_matfree(
         outlier_stats=outlier_stats, loglik_path=loglik_path,
         sigma2_g=fit.sigma2_g, sigma2_e=fit.sigma2_e, delta=fit.delta,
         n=n, p=p, lam_ebic=lam_ebic,
+        escalation_exhausted=escalation_exhausted or None,
     )

@@ -612,6 +612,13 @@ class TiledScan:
             )[:, :b]
         return out
 
+    def column_f64(self, j: int) -> np.ndarray:
+        """The f64 recoded W column for global SNP j (reference:
+        ``extract_geno_rcpp``, SURVEY.md §3.3). On the single-process
+        backend this is a local store read; MultiHostTiledScan overrides
+        it with an owning-host broadcast so host-local shards suffice."""
+        return _impute_column_f64(self.src.column(j))
+
 
 class MultiHostTiledScan(TiledScan):
     """Multi-process SPMD backend for the matrix-free engine (BASELINE
@@ -664,6 +671,45 @@ class MultiHostTiledScan(TiledScan):
 
     def device_lanczos(self, *a, **k):
         return None
+
+    def column_f64(self, j: int) -> np.ndarray:
+        """Owning-host broadcast of global SNP column j: the host whose
+        SNP range contains j reads + mean-imputes it from its LOCAL shard;
+        everyone else contributes zeros; one deterministic f64 all-reduce
+        delivers the column everywhere. No host ever touches a foreign
+        shard file (store shard ↔ host locality, SURVEY.md §6.8) — this is
+        a COLLECTIVE call: every process must invoke it with the same j."""
+        from eagleeverything_tpu.utils import distributed
+
+        lo, hi = self.snp_range
+        if lo <= j < hi:
+            col = _impute_column_f64(self.src.column(j - lo))
+        else:
+            col = np.zeros(self.src.n, dtype=np.float64)
+        return distributed.allreduce_sum_f64(col)
+
+    # fpr4am / am_multi compose with SPMD through the plain TiledScan
+    # sweep surface: the local (p_local,) rows are gathered into the
+    # global O(p) statistic vector (the only cross-host payload, as in
+    # the matfree sweep). sweep_dots intentionally stays LOCAL — the
+    # matfree sweep gathers selectively (bigscan.score_sweep_matfree).
+    def _gather_rows(self, t_local: np.ndarray) -> np.ndarray:
+        from eagleeverything_tpu.utils import distributed
+
+        return distributed.allgather_concat_f64(t_local, self.local_sizes)
+
+    def sweep(self, Lp, Py, sigma2_g):
+        return self._gather_rows(super().sweep(Lp, Py, sigma2_g))
+
+    def sweep_eig(self, s, Q, z3, sigma2_g):
+        return self._gather_rows(super().sweep_eig(s, Q, z3, sigma2_g))
+
+    def sweep_eig_batched(self, s, Q, z3, sigma2_g):
+        t_l = super().sweep_eig_batched(s, Q, z3, sigma2_g)  # (R, p_local)
+        return self._gather_rows(t_l.T).T
+
+    def sweep_batched(self, Lp, Py, sigma2_g):
+        return self._gather_rows(super().sweep_batched(Lp, Py, sigma2_g).T).T
 
 
 class ShardedScan:
@@ -749,6 +795,23 @@ class ShardedScan:
         )
         return (np.asarray(t)[: self.src.p], int(i_glob), float(m_glob))
 
+    def column_f64(self, j: int) -> np.ndarray:
+        """Global SNP column j as f64 W (reference: ``extract_geno_rcpp``).
+        Multi-process: owning-host read + deterministic f64 broadcast, so
+        each process only ever touches its own store shards (collective —
+        call with the same j everywhere)."""
+        if jax.process_count() == 1:
+            return _impute_column_f64(self.src.column(j))
+        from eagleeverything_tpu.utils import distributed
+
+        rows = self.p_pad // jax.process_count()
+        r0 = jax.process_index() * rows
+        if r0 <= j < min(r0 + rows, self.src.p):
+            col = _impute_column_f64(self.src.column(j))
+        else:
+            col = np.zeros(self.src.n, dtype=np.float64)
+        return distributed.allreduce_sum_f64(col)
+
 
 # ---------------------------------------------------------------------------
 # Forward-selection driver (shared decision path)
@@ -829,7 +892,7 @@ def forward_select(
                     "(saved vs current)")
             selected = [int(j) for j in state["selected"]]
             for j in selected:
-                w_col = _impute_column_f64(src.column(j))
+                w_col = backend.column_f64(j)
                 x_col = Z @ w_col if Z is not None else w_col
                 X = np.hstack([X, x_col[:, None]])
             extbic_path = [float(v) for v in state["extbic_path"][:-1]]
@@ -903,7 +966,7 @@ def forward_select(
             # matches the oracle's stop, incl. under fixit/maxit > p
             break
 
-        w_col = _impute_column_f64(src.column(cand))
+        w_col = backend.column_f64(cand)
         x_col = Z @ w_col if Z is not None else w_col
         X_new = np.hstack([X, x_col[:, None]])
         Xs_new = np.hstack([Xs, basis.project(x_col)[:, None]])  # incremental UᵀX
@@ -968,10 +1031,14 @@ def forward_select_multi(
     T, n = ys.shape
     X0 = np.asarray(X0, dtype=np.float64)
     src = _make_source(handle, keep_records)
-    p = src.p
-    logger = ScanLogger(quiet=quiet)
+    logger = ScanLogger(quiet=quiet, is_host0=jax.process_index() == 0)
 
-    backend = TiledScan(src, config)
+    # SPMD: local-range streaming + collective K, globally-gathered
+    # batched sweeps, owning-host column broadcast — per-trait decisions
+    # are replicated host-f64, so every process selects identically
+    backend = (MultiHostTiledScan(src, config) if jax.process_count() > 1
+               else TiledScan(src, config))
+    p = getattr(backend, "p_global", src.p)
     with Phase(logger, "mmt", items=p):
         K_raw = backend.compute_K()
     if n != src.n:
@@ -1026,7 +1093,7 @@ def forward_select_multi(
             if t_vec[cand] <= 0.0:
                 s.active = False  # exhausted for this trait
                 continue
-            w_col = _impute_column_f64(src.column(cand))
+            w_col = backend.column_f64(cand)
             Xs_new = np.hstack([s.Xs, (U_eig.T @ w_col)[:, None]])
             fit_new = reml_core.reml_maximize_diag(d_eig, ystars[s.t], Xs_new)
             ebic_new = reml_core.extbic(

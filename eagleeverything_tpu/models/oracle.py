@@ -56,6 +56,10 @@ class AMResult:
     pos: Optional[Sequence[float]] = None
     # NA bookkeeping (reference: indxNA) — indices of dropped records
     dropped_records: Optional[np.ndarray] = None
+    # matfree engine only: iterations where the escalation guard ran out
+    # of rounds with candidates still above the Hutchinson noise bound —
+    # those iterations' argmax decisions are unproven (None = all proven)
+    escalation_exhausted: Optional[list[int]] = None
 
 
 def recode_and_impute(geno_raw: np.ndarray) -> np.ndarray:

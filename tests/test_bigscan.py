@@ -242,12 +242,14 @@ def test_matfree_escalation_guard_rescues_misranked_argmax():
     wrong; the guard rescored its way back to the exact argmax."""
     sweep = _guard_setup(seed=4, diag_probes=16)
     # ground truth: every SNP rescored exactly
-    _, cand_exact = sweep(exact_topk=300)
+    _, cand_exact, _ = sweep(exact_topk=300)
     # ungated two-stage sweep: the old behavior (argmax of the shortlist)
-    _, cand_noguard = sweep(exact_topk=4, max_escalation_rounds=0)
+    _, cand_noguard, info_ng = sweep(exact_topk=4, max_escalation_rounds=0)
     assert cand_noguard != cand_exact  # the adversarial premise holds
+    # the unproven argmax must be LOUD, not silent (VERDICT r2 weak #6)
+    assert info_ng["exhausted"] is True
     # guarded sweep recovers the exact argmax
-    _, cand_guard = sweep(exact_topk=4)
+    _, cand_guard, _ = sweep(exact_topk=4)
     assert cand_guard == cand_exact
 
 
@@ -256,6 +258,42 @@ def test_matfree_escalation_guard_property(seed):
     """Property: across seeds, the guarded two-stage sweep with a tiny
     shortlist agrees with the rescore-everything sweep."""
     sweep = _guard_setup(seed=seed, diag_probes=16)
-    _, cand_exact = sweep(exact_topk=300)
-    _, cand_guard = sweep(exact_topk=4)
+    _, cand_exact, _ = sweep(exact_topk=300)
+    _, cand_guard, _ = sweep(exact_topk=4)
     assert cand_guard == cand_exact
+
+
+def test_matfree_sweep_exclude_never_returns_selected():
+    """VERDICT r2 weak #5: with the true argmax excluded (as a selected
+    SNP would be), the sweep must return the best NON-excluded SNP from
+    the exactly-rescored set — never an excluded index, and never a
+    fallback argmax over non-rescored probe estimates."""
+    sweep = _guard_setup(seed=4, diag_probes=16)
+    _, best, _ = sweep(exact_topk=300)
+    # ground truth runner-up: rescore everything with the winner excluded
+    _, runner_exact, _ = sweep(exact_topk=300, exclude=[best])
+    assert runner_exact != best
+    # two-stage sweep with a tiny shortlist must agree
+    t, runner_guard, info = sweep(exact_topk=4, exclude=[best])
+    assert runner_guard == runner_exact
+    assert t[best] == 0.0  # excluded entries report t = 0 (engine contract)
+
+
+def test_matfree_forward_select_excludes_selected_in_sweep():
+    """The forward loop passes exclude=selected into the sweep: selected
+    SNPs never reappear as candidates, and the per-iteration outlier
+    vectors report 0 for them (matches the exact engine's t[selected]=0)."""
+    from eagleeverything_tpu.data.simulate import simulate_dataset
+
+    sim = simulate_dataset(n=120, p=300, n_qtl=3, seed=4, h2_qtl=0.5)
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    res = bigscan.forward_select_matfree(
+        sim.y, np.ones((120, 1)), backend, maxit=4,
+        column_f64=backend.column_f64, diag_probes=64)
+    assert len(res.indices) == len(set(res.indices))  # no re-selection
+    for it, t in enumerate(res.outlier_stats):
+        for rank, j in enumerate(res.indices):
+            if rank < it:  # j was already selected before iteration it
+                assert t[j] == 0.0
+    assert res.escalation_exhausted is None  # all argmax decisions proven
