@@ -55,12 +55,23 @@ def main() -> None:
 
     # Retry ladder: the sandbox's relay backend intermittently wedges on
     # the largest program; run the measurement in a child process and
-    # halve p on failure so the harness ALWAYS gets a JSON line.
+    # step p down on failure so the harness ALWAYS gets a JSON line.
+    # Root cause of the r02 regression (diagnosed r3): the axon relay's
+    # REMOTE COMPILE takes ~90s even at p=8192 and can exceed 5 min at
+    # full shape — so the first rung needs a compile-sized budget, and a
+    # warm persistent cache (utils/jaxinit.enable_compilation_cache)
+    # makes reruns fast. Every failed rung's evidence (exit code, last
+    # stderr lines) is kept and emitted in the JSON detail — a relay
+    # wedge must be distinguishable from a real perf bug.
     if args.config == "sweep" and not args.single and not args.quick:
         import subprocess
         import sys
-        per_try = min(300, args.watchdog)  # healthy path ≈ compile+run < 5 min
-        for p_try in (args.p, args.p // 2, args.p // 4):
+        failures = []
+        rungs = [args.p, (args.p * 3) // 4, args.p // 2, args.p // 4]
+        for i, p_try in enumerate(rungs):
+            # first rung gets the full watchdog budget (cold compile);
+            # later rungs shrink so the harness still always terminates
+            per_try = args.watchdog if i == 0 else min(300, args.watchdog)
             cmd = [sys.executable, __file__, "--single",
                    "--n", str(args.n), "--p", str(p_try),
                    "--dtype", args.dtype, "--reps", str(args.reps),
@@ -68,18 +79,35 @@ def main() -> None:
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
                                    timeout=per_try + 60)
-            except subprocess.TimeoutExpired:
+            except subprocess.TimeoutExpired as e:
+                failures.append({
+                    "p": p_try, "error": f"timeout after {per_try + 60}s",
+                    "stderr_tail": ((e.stderr or b"").decode(
+                        errors="replace")[-500:] if isinstance(
+                            e.stderr, bytes) else str(e.stderr or ""))[-500:],
+                })
                 continue
             lines = [ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")]
             if r.returncode == 0 and lines:
-                print(lines[-1])
+                out = json.loads(lines[-1])
+                if failures:
+                    out.setdefault("detail", {})["failed_rungs"] = failures
+                print(json.dumps(out))
                 return
+            failures.append({
+                "p": p_try, "returncode": r.returncode,
+                "stdout_tail": r.stdout[-300:],
+                "stderr_tail": "\n".join(
+                    ln for ln in r.stderr.splitlines()
+                    if "WARNING" not in ln)[-500:],
+            })
         print(json.dumps({
             "metric": "snps_scored_per_sec_per_chip", "value": 0.0,
             "unit": "SNPs/s", "vs_baseline": None,
             "detail": {"error": "all bench attempts failed "
-                                "(device/relay wedged)"},
+                                "(device/relay wedged)",
+                       "failed_rungs": failures},
         }))
         raise SystemExit(1)
     if args.watchdog > 0:

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""BASELINE config 3 at TRUE scale: 50k individuals x 1M SNPs, one host.
+
+Two phases (resumable — the packed store is the durable artifact,
+SURVEY.md §6.4):
+
+  --gen   stream-generate the 2-bit packed genotype store (12.5 GB on
+          disk; never materializes the 50 GB dense matrix) plus a trait
+          with planted QTL and a phenotype file.
+  --run   run the scan end-to-end on the real chip with phase logging
+          (MMt, eigh, T-stream sweep per iteration) via --log-jsonl.
+
+Usage:
+  python scripts/cohort_run.py --gen  [--n 50000] [--p 1000000]
+  python scripts/cohort_run.py --run  [--maxit 3]
+  (both flags together do gen-if-absent then run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_DIR = os.environ.get("EAGLE_COHORT_DIR", "/tmp/eagle_cohort")
+
+
+def generate(dir: str, n: int, p: int, n_qtl: int = 8,
+             seed: int = 7, block: int = 4096) -> None:
+    from eagleeverything_tpu.io.genostore import GenotypeStore
+
+    os.makedirs(dir, exist_ok=True)
+    store_dir = os.path.join(dir, "store")
+    rng = np.random.default_rng(seed)
+    # QTL planted in the first block so their columns are kept in memory
+    qtl_idx = np.sort(rng.choice(block, size=n_qtl, replace=False))
+    qtl_cols = {}
+
+    def blocks():
+        t0 = time.perf_counter()
+        for j0 in range(0, p, block):
+            b = min(block, p - j0)
+            # per-SNP MAF in [0.05, 0.5]; HWE genotypes 0/1/2
+            maf = rng.uniform(0.05, 0.5, size=(b, 1))
+            u = rng.random(size=(b, n))
+            blk = ((u < maf**2) * 2 + ((u >= maf**2)
+                   & (u < maf**2 + 2 * maf * (1 - maf)))).astype(np.int8)
+            if j0 == 0:
+                for q in qtl_idx:
+                    qtl_cols[int(q)] = blk[q].astype(np.float64)
+            if j0 % (block * 32) == 0:
+                el = time.perf_counter() - t0
+                done = j0 + b
+                print(f"[gen] {done}/{p} SNPs ({el:.0f}s, "
+                      f"{done / max(el, 1e-9) / 1e3:.1f}k SNPs/s)",
+                      flush=True)
+            yield j0, blk
+    t0 = time.perf_counter()
+    GenotypeStore.create_from_snp_blocks(
+        store_dir, blocks(), n=n, p=p, n_shards=8, packed=True,
+        source=f"cohort-sim-seed{seed}")
+    gen_s = time.perf_counter() - t0
+
+    beta = rng.normal(0, 1.0, size=n_qtl) * np.sqrt(0.4 / n_qtl)
+    g = sum(beta[i] * (qtl_cols[int(q)] - qtl_cols[int(q)].mean())
+            for i, q in enumerate(qtl_idx))
+    y = g + rng.normal(0, np.sqrt(max(1e-6, 1.0 - float(np.var(g)))), size=n)
+    np.save(os.path.join(dir, "y.npy"), y)
+    meta = {"n": n, "p": p, "qtl_indices": [int(q) for q in qtl_idx],
+            "beta": beta.tolist(), "seed": seed, "gen_seconds": gen_s,
+            "store_bytes": sum(
+                os.path.getsize(os.path.join(store_dir, f))
+                for f in os.listdir(store_dir))}
+    with open(os.path.join(dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"[gen] done in {gen_s:.0f}s; store "
+          f"{meta['store_bytes'] / 1e9:.2f} GB", flush=True)
+
+
+def run(dir: str, maxit: int, engine: str) -> None:
+    from eagleeverything_tpu.api.am import am
+    from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+
+    enable_compilation_cache()
+    with open(os.path.join(dir, "meta.json")) as f:
+        meta = json.load(f)
+    y = np.load(os.path.join(dir, "y.npy"))
+    handle = GenoHandle(n=meta["n"], p=meta["p"], source="cohort",
+                        store_dir=os.path.join(dir, "store"))
+    log = os.path.join(dir, "scan_log.jsonl")
+    t0 = time.perf_counter()
+    res = am("y", handle, {"y": y}, maxit=maxit, engine=engine,
+             quiet=False, log_jsonl=log,
+             ckpt_dir=os.path.join(dir, "ckpt"))
+    wall = time.perf_counter() - t0
+    out = {
+        "config": "BASELINE-3 (50k x 1M, 1 host)" if meta["n"] >= 50000
+                  else f"cohort {meta['n']} x {meta['p']}",
+        "n": meta["n"], "p": meta["p"], "engine": engine,
+        "selected": res.indices, "qtl_truth": meta["qtl_indices"],
+        "extbic_path": res.extbic_path, "wall_seconds": round(wall, 1),
+        "iterations": len(res.extbic_path),
+    }
+    with open(os.path.join(dir, "result.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default=DEFAULT_DIR)
+    ap.add_argument("--n", type=int, default=50000)
+    ap.add_argument("--p", type=int, default=1000000)
+    ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--maxit", type=int, default=3)
+    # n=50k: the device-resident-U eigenbasis path (f32 U = 10 GB HBM);
+    # "auto" would route to matfree at this n, which is the n>100k answer
+    ap.add_argument("--engine", default="jax")
+    args = ap.parse_args()
+    if args.gen or not os.path.exists(os.path.join(args.dir, "meta.json")):
+        generate(args.dir, args.n, args.p)
+    if args.run:
+        run(args.dir, args.maxit, args.engine)
+
+
+if __name__ == "__main__":
+    main()
