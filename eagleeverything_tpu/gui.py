@@ -18,9 +18,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 _STATE = {
-    "geno": None, "pheno": None, "map": None,
+    "geno": None, "pheno": None, "map": None, "zmat": None,
     "running": False, "log": [], "result": None, "summary": None,
     "error": None,
+    # fpr4am calibration (reference FPR4AM tab) — own worker-thread slot
+    "fpr_running": False, "fpr_result": None, "fpr_error": None,
+    # multi-trait scan (am_multi; BASELINE config 5)
+    "multi_running": False, "multi_result": None, "multi_error": None,
 }
 _LOCK = threading.Lock()
 
@@ -110,6 +114,7 @@ img{max-width:100%;border:1px solid #ddd;border-radius:6px}
 <select id=gtype><option>text</option><option>PLINK</option><option>vcf</option></select><br>
 <label>Phenotype file</label><input type=text id=pheno placeholder="examples/tutorial/pheno.txt"><br>
 <label>Map file</label><input type=text id=mapf placeholder="examples/tutorial/map.txt (optional)"><br>
+<label>Zmat file</label><input type=text id=zmatf placeholder="incidence matrix (optional; repeated measures)"><br>
 <button onclick="readData()">Read data</button>
 <pre id=readout>no data loaded</pre></fieldset>
 <fieldset><legend>2. Scan (AM)</legend>
@@ -118,7 +123,15 @@ img{max-width:100%;border:1px solid #ddd;border-radius:6px}
 <label>maxit</label><input type=text id=maxit value="40">
 <label>lambda</label><input type=text id=lam value="1.0"><br>
 <button onclick="runAM()">Run AM</button>
+<label>Traits (multi)</label><input type=text id=traits placeholder="y1,y2 (comma-separated)">
+<button onclick="runMulti()">Run multi-trait AM</button>
 <pre id=amout>not run</pre></fieldset>
+<fieldset><legend>2b. Calibrate lambda (FPR4AM)</legend>
+<label>Trait</label><input type=text id=ftrait placeholder="y">
+<label>target FPR</label><input type=text id=fpr value="0.05" style="width:5rem">
+<label>numreps</label><input type=text id=numreps value="50" style="width:5rem">
+<button onclick="runFPR()">Calibrate</button>
+<pre id=fprout>not run</pre></fieldset>
 <fieldset><legend>3. Results</legend>
 <button onclick="loadSummary()">Summary (Wald tests)</button>
 <button onclick="drawManhattan()">Manhattan plot (interactive)</button>
@@ -131,8 +144,28 @@ padding:.3rem .5rem;border-radius:4px;font-size:.8rem;pointer-events:none;z-inde
 <script>
 async function post(u,b){const r=await fetch(u,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(b)});return r.json()}
 async function readData(){
- const r=await post('/api/read',{geno:geno.value,gtype:gtype.value,pheno:pheno.value,map:mapf.value});
+ const r=await post('/api/read',{geno:geno.value,gtype:gtype.value,pheno:pheno.value,map:mapf.value,zmat:zmatf.value});
  readout.textContent=JSON.stringify(r,null,1); readout.className=r.error?'err':''}
+async function runFPR(){
+ fprout.textContent='calibrating...';
+ await post('/api/fpr',{trait:ftrait.value||trait.value,fformula:fformula.value,falseposrate:fpr.value,numreps:numreps.value});
+ pollFPR()}
+async function pollFPR(){
+ const r=await (await fetch('/api/fpr_status')).json();
+ if(r.running){setTimeout(pollFPR,1500);return}
+ fprout.className=r.error?'err':'';
+ fprout.textContent=r.error?('ERROR: '+r.error):
+  ('lambda* = '+r.result.lambda.toFixed(4)+'  (target FPR '+r.result.falseposrate+', '+r.result.numreps+' permutations)\n'
+   +'use it in the Scan tab lambda field');}
+async function runMulti(){
+ amout.textContent='running multi-trait...';
+ await post('/api/multi',{traits:traits.value,fformula:fformula.value,maxit:maxit.value,lam:lam.value});
+ pollMulti()}
+async function pollMulti(){
+ const r=await (await fetch('/api/multi_status')).json();
+ if(r.running){setTimeout(pollMulti,1500);return}
+ amout.className=r.error?'err':'';
+ amout.textContent=r.error?('ERROR: '+r.error):JSON.stringify(r.result,null,1)}
 async function runAM(){
  amout.textContent='running...';
  await post('/api/am',{trait:trait.value,fformula:fformula.value,maxit:maxit.value,lam:lam.value});
@@ -252,10 +285,15 @@ def _do_read(params):
         _STATE["pheno"] = ee.read_pheno(params["pheno"])
         _STATE["map"] = (ee.read_map(params["map"])
                          if params.get("map") else None)
+        _STATE["zmat"] = (ee.read_zmat(params["zmat"])
+                          if params.get("zmat") else None)
         g, ph = _STATE["geno"], _STATE["pheno"]
     return {"genotypes": f"{g.n} individuals x {g.p} SNPs",
             "phenotype_columns": ph.names,
-            "map": "loaded" if _STATE["map"] else "none"}
+            "map": "loaded" if _STATE["map"] else "none",
+            "zmat": (f"{_STATE['zmat'].shape[0]} records x "
+                     f"{_STATE['zmat'].shape[1]} individuals"
+                     if _STATE["zmat"] is not None else "none")}
 
 
 def _run_am(params):
@@ -266,6 +304,7 @@ def _run_am(params):
             geno=_STATE["geno"], pheno=_STATE["pheno"],
             fformula=params.get("fformula") or None,
             map=_STATE["map"],
+            Zmat=_STATE["zmat"],
             maxit=int(params.get("maxit") or 40),
             lam=float(params.get("lam") or 1.0),
             quiet=True,
@@ -281,6 +320,64 @@ def _run_am(params):
     finally:
         with _LOCK:
             _STATE["running"] = False
+
+
+def _run_fpr(params):
+    import eagleeverything_tpu as ee
+    try:
+        cal = ee.fpr4am(
+            trait=params["trait"],
+            geno=_STATE["geno"], pheno=_STATE["pheno"],
+            fformula=params.get("fformula") or None,
+            Zmat=_STATE["zmat"],
+            falseposrate=float(params.get("falseposrate") or 0.05),
+            numreps=int(params.get("numreps") or 100),
+            quiet=True,
+        )
+        with _LOCK:
+            _STATE["fpr_result"] = {
+                "lambda": cal["lambda"],
+                "falseposrate": cal["falseposrate"],
+                "numreps": cal["numreps"],
+                "lambda_crits": [float(v) for v in cal["lambda_crits"]],
+            }
+    except Exception as e:
+        with _LOCK:
+            _STATE["fpr_error"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc()
+    finally:
+        with _LOCK:
+            _STATE["fpr_running"] = False
+
+
+def _run_multi(params):
+    import eagleeverything_tpu as ee
+    try:
+        traits = [t.strip() for t in str(params["traits"]).split(",")
+                  if t.strip()]
+        results = ee.am_multi(
+            traits, _STATE["geno"], _STATE["pheno"],
+            fformula=params.get("fformula") or None,
+            map=_STATE["map"],
+            maxit=int(params.get("maxit") or 40),
+            lam=float(params.get("lam") or 1.0),
+            quiet=True,
+        )
+        with _LOCK:
+            _STATE["multi_result"] = {
+                name: {
+                    "indices": r.indices,
+                    "marker_names": r.marker_names,
+                    "extbic_path": r.extbic_path,
+                    "sigma2_g": r.sigma2_g, "sigma2_e": r.sigma2_e,
+                } for name, r in results.items()}
+    except Exception as e:
+        with _LOCK:
+            _STATE["multi_error"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc()
+    finally:
+        with _LOCK:
+            _STATE["multi_running"] = False
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -337,6 +434,20 @@ class _Handler(BaseHTTPRequestHandler):
                 _json_out(self, _plot_data(res, _STATE["map"]))
             except Exception as e:
                 _json_out(self, {"error": f"{type(e).__name__}: {e}"})
+        elif self.path.startswith("/api/fpr_status"):
+            with _LOCK:
+                _json_out(self, {
+                    "running": _STATE["fpr_running"],
+                    "error": _STATE["fpr_error"],
+                    "result": _STATE["fpr_result"],
+                })
+        elif self.path.startswith("/api/multi_status"):
+            with _LOCK:
+                _json_out(self, {
+                    "running": _STATE["multi_running"],
+                    "error": _STATE["multi_error"],
+                    "result": _STATE["multi_result"],
+                })
         elif self.path.startswith("/api/plot.png"):
             try:
                 import eagleeverything_tpu as ee
@@ -376,6 +487,34 @@ class _Handler(BaseHTTPRequestHandler):
                 _STATE.update(running=True, result=None, error=None,
                               log=[f"scan started: trait={params.get('trait')}"])
             threading.Thread(target=_run_am, args=(params,),
+                             daemon=True).start()
+            _json_out(self, {"started": True})
+        elif self.path.startswith("/api/fpr"):
+            with _LOCK:
+                if _STATE["fpr_running"]:
+                    _json_out(self, {"error": "a calibration is already "
+                                              "running"})
+                    return
+                if _STATE["geno"] is None:
+                    _json_out(self, {"error": "read data first"})
+                    return
+                _STATE.update(fpr_running=True, fpr_result=None,
+                              fpr_error=None)
+            threading.Thread(target=_run_fpr, args=(params,),
+                             daemon=True).start()
+            _json_out(self, {"started": True})
+        elif self.path.startswith("/api/multi"):
+            with _LOCK:
+                if _STATE["multi_running"]:
+                    _json_out(self, {"error": "a multi-trait scan is "
+                                              "already running"})
+                    return
+                if _STATE["geno"] is None:
+                    _json_out(self, {"error": "read data first"})
+                    return
+                _STATE.update(multi_running=True, multi_result=None,
+                              multi_error=None)
+            threading.Thread(target=_run_multi, args=(params,),
                              daemon=True).start()
             _json_out(self, {"started": True})
         else:

@@ -95,3 +95,67 @@ def test_gui_error_paths(server):
     base, _ = server
     r = _post(base + "/api/read", {"geno": "/nope", "pheno": "/nope"})
     assert "error" in r
+
+
+def test_gui_fpr_endpoint(server):
+    """VERDICT r2 #9: the GUI wraps fpr4am like the reference Shiny app."""
+    base, d = server
+    _post(base + "/api/read", {
+        "geno": os.path.join(d, "geno.txt"), "gtype": "text",
+        "pheno": os.path.join(d, "pheno.txt")})
+    r = _post(base + "/api/fpr", {"trait": "y", "numreps": "4"})
+    assert r.get("started"), r
+    for _ in range(120):
+        st = json.loads(_get(base + "/api/fpr_status"))
+        if not st["running"]:
+            break
+        time.sleep(1)
+    assert st["error"] is None, st
+    assert st["result"]["lambda"] >= 0.0
+    assert len(st["result"]["lambda_crits"]) == 4
+
+
+def test_gui_multi_trait_endpoint(server):
+    base, d = server
+    _post(base + "/api/read", {
+        "geno": os.path.join(d, "geno.txt"), "gtype": "text",
+        "pheno": os.path.join(d, "pheno.txt")})
+    r = _post(base + "/api/multi", {"traits": "y,age", "maxit": "3"})
+    assert r.get("started"), r
+    for _ in range(120):
+        st = json.loads(_get(base + "/api/multi_status"))
+        if not st["running"]:
+            break
+        time.sleep(1)
+    assert st["error"] is None, st
+    assert set(st["result"].keys()) == {"y", "age"}
+    assert "extbic_path" in st["result"]["y"]
+
+
+def test_gui_zmat_scan(server, tmp_path):
+    """Zmat upload + scan through the GUI: identity Z must reproduce the
+    no-Z selection."""
+    import numpy as np
+    base, d = server
+    zpath = str(tmp_path / "z.txt")
+    np.savetxt(zpath, np.eye(100), fmt="%d")
+
+    def scan(with_z):
+        _post(base + "/api/read", {
+            "geno": os.path.join(d, "geno.txt"), "gtype": "text",
+            "pheno": os.path.join(d, "pheno.txt"),
+            "zmat": zpath if with_z else ""})
+        _post(base + "/api/am", {"trait": "y", "maxit": "3"})
+        for _ in range(120):
+            st = json.loads(_get(base + "/api/status"))
+            if not st["running"]:
+                break
+            time.sleep(1)
+        assert st["error"] is None, st
+        return st["result"]["indices"]
+
+    r = _post(base + "/api/read", {
+        "geno": os.path.join(d, "geno.txt"), "gtype": "text",
+        "pheno": os.path.join(d, "pheno.txt"), "zmat": zpath})
+    assert "100 records x 100 individuals" in r["zmat"]
+    assert scan(True) == scan(False)
