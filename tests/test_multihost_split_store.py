@@ -54,6 +54,19 @@ out = {}
 src = engine_jax._make_source(handle, None)
 backend = engine_jax.MultiHostTiledScan(src, EagleConfig())
 X0 = np.ones((100, 1))
+
+# the collective device Krylov (global-mesh GSPMD CG) must engage — the
+# whole solve is one jitted program with XLA-inserted psum — and agree
+# with the streamed host CG whose matvec is the host-f64 allreduce form
+rngc = np.random.default_rng(3)
+Bc = rngc.standard_normal((100, 4))
+Xd = backend.device_cg(Bc, 0.7, 120.0, tol=1e-7)
+assert Xd is not None, "collective device CG did not engage"
+Xh = bigscan.blocked_cg(
+    lambda V: backend.kernel_matvec(V) / 120.0 + 0.7 * V, Bc, tol=1e-7)
+out["cg_rel_err"] = float(np.max(np.abs(Xd - Xh)) / np.max(np.abs(Xh)))
+assert out["cg_rel_err"] < 5e-4, out["cg_rel_err"]
+
 ctx = bigscan.make_context(backend, 100)
 fit = bigscan.reml_maximize_matfree(ctx, sim.y, X0)
 t, cand, info = bigscan.score_sweep_matfree(
