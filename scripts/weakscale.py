@@ -118,6 +118,24 @@ KV = backend.kernel_matvec(V)
 out["matvec_collective_s"] = (
     med(lambda: distributed.allreduce_sum_f64(KV)) if nproc > 1 else 0.0)
 
+# (d) whole-CG-solve comparison: streamed host CG (one gRPC allreduce
+# per iteration) vs the collective device Krylov (one jitted GSPMD
+# program, XLA-inserted psum per iteration)
+from eagleeverything_tpu.models import bigscan
+B = rng.standard_normal((n, 8))
+s0 = float(np.mean(np.diag(K)))
+host_cg = lambda: bigscan.blocked_cg(
+    lambda X: backend.kernel_matvec(X) / s0 + 0.5 * X, B, tol=1e-6)
+host_cg()
+out["cg_host_s"] = med(host_cg, k=max(2, reps // 2))
+dev = backend.device_cg(B, 0.5, s0, tol=1e-6)
+if dev is not None:
+    out["cg_device_s"] = med(
+        lambda: backend.device_cg(B, 0.5, s0, tol=1e-6),
+        k=max(2, reps // 2))
+else:
+    out["cg_device_s"] = None
+
 out["p_local"] = backend.src.p
 out["p_global"] = p_glob
 if int(os.environ["EAGLE_PROC_ID"]) == 0:
@@ -234,6 +252,13 @@ def main() -> None:
                          "collective_s": coll,
                          "collective_fraction": round(frac, 4),
                          "oversubscribed": nproc > ncores}
+        pt["cg_host_s"] = r.get("cg_host_s")
+        pt["cg_device_s"] = r.get("cg_device_s")
+        if r.get("cg_device_s"):
+            print(f"{nproc:>3} {'cg (full solve)':<12} host "
+                  f"{r['cg_host_s']:.4f}s vs collective-device "
+                  f"{r['cg_device_s']:.4f}s "
+                  f"({r['cg_host_s'] / r['cg_device_s']:.2f}x)")
         report["points"][nproc] = pt
 
     if args.out:

@@ -85,6 +85,11 @@ out["mf_extbic"] = res.extbic_path
 cal = fpr4am("y", handle, {"y": sim.y}, numreps=6, seed=5, engine="eig")
 out["lam_crits"] = list(map(float, cal["lambda_crits"]))
 
+# --- fpr4am (matfree path) over the split store ------------------------
+calm = fpr4am("y", handle, {"y": sim.y}, numreps=3, seed=5,
+              engine="matfree")
+out["lam_crits_mf"] = list(map(float, calm["lambda_crits"]))
+
 # --- am_multi over the split store -------------------------------------
 y2 = np.tanh(sim.y) + 0.1 * np.arange(100)
 multi = am_multi(["y", "y2"], handle, {"y": sim.y, "y2": y2}, maxit=3)
@@ -191,6 +196,14 @@ def test_split_store_spmd_matches_single_process(split_setup):
                      engine="eig")
     np.testing.assert_allclose(got["lam_crits"], cal_ref["lambda_crits"],
                                rtol=1e-6)
+
+    # matfree calibration composes with SPMD too (collective matvec +
+    # device Krylov + owning-host columns); tolerance covers the f32
+    # matvec noise between the single- and multi-process Krylov forms
+    calm_ref = fpr4am("y", handle, {"y": sim.y}, numreps=3, seed=5,
+                      engine="matfree")
+    np.testing.assert_allclose(got["lam_crits_mf"],
+                               calm_ref["lambda_crits"], atol=2e-3)
 
     y2 = np.tanh(sim.y) + 0.1 * np.arange(100)
     multi_ref = am_multi(["y", "y2"], handle,
