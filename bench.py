@@ -38,12 +38,14 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke-testing the harness")
     ap.add_argument("--config", default="sweep",
-                    choices=["sweep", "cohort", "multitrait"],
+                    choices=["sweep", "cohort", "multitrait", "eigsweep"],
                     help="sweep: resident-tile scan kernel (default); "
                          "cohort: out-of-core packed-store streaming scan "
                          "(BASELINE config 3 scaled); multitrait: batched "
                          "lockstep eigenbasis sweep over R traits "
-                         "(BASELINE config 5)")
+                         "(BASELINE config 5); eigsweep: the engine's "
+                         "ACTUAL per-iteration path — score_from_T on the "
+                         "cached eigenbasis tiles (HBM-bandwidth-bound)")
     ap.add_argument("--traits", type=int, default=16,
                     help="batch width R for --config multitrait")
     ap.add_argument("--watchdog", type=int, default=480,
@@ -147,6 +149,8 @@ def main() -> None:
         return bench_cohort(args)
     if args.config == "multitrait":
         return bench_multitrait(args)
+    if args.config == "eigsweep":
+        return bench_eigsweep(args)
 
     import jax
     import jax.numpy as jnp
@@ -279,6 +283,60 @@ def bench_cohort(args) -> None:
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_eigsweep(args) -> None:
+    """The engine's true per-iteration scan path (forward_select after the
+    first sweep): score_from_T on the HBM-cached eigenbasis tiles T = Wt·U.
+    Per-SNP work is O(n·q) instead of the sqrt-form's O(n²), so the op is
+    HBM-BANDWIDTH-bound: speed-of-light = BW / (4n) SNPs/s (one f32 read
+    of T per sweep; v5e ≈ 819 GB/s → ~100M SNPs/s at n=2048). Reported
+    with the achieved fraction of that roofline."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from eagleeverything_tpu.ops import kernels
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
+
+    n, p, q = args.n, args.p, 48
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(rng.standard_normal((p, n)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    Q = jnp.asarray(np.linalg.qr(
+        rng.standard_normal((n, q)))[0].astype(np.float32))
+    z3 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s2g = jnp.float32(1.0)
+
+    @functools.partial(jax.jit, static_argnames="reps")
+    def loop(T, s, Q, z3, s2g, reps):
+        def body(_, acc):
+            t = kernels.score_from_T(T, s, Q, z3, s2g + 0.0 * acc)
+            return acc + t[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(loop(T, s, Q, z3, s2g, reps=args.reps))  # warm-up / compile
+    start = time.perf_counter()
+    float(loop(T, s, Q, z3, s2g, reps=args.reps))
+    secs = (time.perf_counter() - start) / args.reps
+
+    gb = p * n * 4 / 1e9                      # one read of T per sweep
+    bw = gb / secs
+    roofline_gbs = 819.0                      # v5e HBM
+    print(json.dumps({
+        "metric": "snps_scored_per_sec_per_chip_eigenbasis",
+        "value": round(p / secs, 1),
+        "unit": "SNPs/s",
+        "vs_baseline": None,
+        "detail": {
+            "n_individuals": n, "p_snps": p, "q": q,
+            "backend": jax.default_backend(),
+            "sweep_wallclock_s": round(secs, 6),
+            "achieved_gb_per_s": round(bw, 1),
+            "hbm_roofline_fraction": round(bw / roofline_gbs, 3),
+        },
+    }))
 
 
 def bench_multitrait(args) -> None:
