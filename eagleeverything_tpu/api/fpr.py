@@ -152,13 +152,20 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
     """FPR calibration at biobank n: the kernel is never materialized.
 
     Same λ_crit algebra as the eigenbasis path, but LL₀/LL₁ come from
-    matrix-free REML (blocked-CG solves + cached SLQ logdet,
-    models/bigscan) and the per-permutation sweep is the two-stage
-    probe/exact score sweep. The SLQ probe set and Hutchinson scale s0
-    are shared across all permutations; each null fit warm-starts its δ
-    grid from the previous permutation's optimum (permutations are
-    exchangeable, so the optima cluster)."""
+    matrix-free REML (Krylov solves + cached SLQ logdet, models/bigscan)
+    and the per-permutation sweep is the two-stage probe/exact score
+    sweep. The SLQ probe set and Hutchinson scale s0 are shared across
+    all permutations, and — the SURVEY §4.3 batching rule applied to the
+    Krylov regime — the null-model solves for a whole CHUNK of
+    permutations ride ONE shift-invariant Lanczos pass on the block
+    [X | y_π1 … y_πR]: the Krylov space of H(δ)=K+δI is δ-independent,
+    so that single pass (m streamed/collective matvecs) serves every
+    permutation × every δ-grid point × the golden refinement, instead of
+    one full pass per permutation. Chunk size is capped by the basis
+    cache budget; the sweep + candidate REML stay per-rep (the sweep's
+    store pass is per-permutation by nature)."""
     from eagleeverything_tpu.models import bigscan
+    from eagleeverything_tpu.models.bigscan import ShiftedKrylov
 
     y, X0, Z = prep.y, prep.X0, prep.Z
     n = y.shape[0]
@@ -169,23 +176,75 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
     rng = np.random.default_rng(seed)
     log_choose_p1 = math.log(p)
     lam_crits = np.empty(numreps)
+
+    Xi, _ = reml_core.independent_cols(np.asarray(X0, np.float64))
+    q = Xi.shape[1]
+    # chunk permutations so the (m, n, q+R) basis fits the cache budget
+    per_col = ShiftedKrylov.cache_bytes(n, 1, ctx.solve_m)
+    chunk = max(1, min(numreps,
+                       int(ctx.cache_max_bytes / max(per_col, 1)) - q))
     hint = None
-    for r in range(numreps):
-        y_perm = rng.permutation(y)
-        fit0 = bigscan.reml_maximize_matfree(ctx, y_perm, X0,
-                                             delta_hint=hint)
-        hint = fit0.delta
-        _, cand, _ = bigscan.score_sweep_matfree(
-            ctx, backend, y_perm, X0, fit0, column_f64=column_f64, Z=Z)
-        w_col = column_f64(cand)
-        x_col = Z @ w_col if Z is not None else w_col
-        X1 = np.hstack([X0, x_col[:, None]])
-        fit1 = bigscan.reml_maximize_matfree(ctx, y_perm, X1,
-                                             delta_hint=fit0.delta)
-        lam_crits[r] = (
-            2.0 * (fit1.loglik - fit0.loglik) - math.log(n)
-        ) / (2.0 * log_choose_p1)
-        if not quiet:
-            print(f"[fpr4am:matfree] rep={r} cand={cand} "
-                  f"lambda_crit={lam_crits[r]:.4f}")
+    for c0 in range(0, numreps, chunk):
+        R = min(chunk, numreps - c0)
+        Y = np.column_stack([rng.permutation(y) for _ in range(R)])
+        sk = ShiftedKrylov(ctx.kernel_matvec, np.column_stack([Xi, Y]),
+                           m=ctx.solve_m, reorth=True,
+                           device_lanczos=ctx.device_lanczos)
+
+        def ll_of(rep: int, d: float, _sk=sk, _Y=Y) -> float:
+            Sol = _sk.solve(d)
+            cols = list(range(q)) + [q + rep]
+            return bigscan._ll_from_solution(
+                _Y[:, rep], Xi, Sol[:, cols], ctx.logdet(d))[0]
+
+        # shared coarse δ grid: one cached solve per grid point serves
+        # every permutation in the chunk
+        llim, ulim, ngrids = -6.0, 8.0, 24
+        if hint is not None and hint > 0:
+            c = math.log(hint)
+            llim, ulim, ngrids = c - 2.0, c + 2.0, 8
+        grid = np.exp(np.linspace(llim, ulim, ngrids + 1))
+        grid_lls = np.empty((len(grid), R))
+        for gi, d in enumerate(grid):
+            Sol = sk.solve(float(d))
+            ld = ctx.logdet(float(d))
+            for rep in range(R):
+                cols = list(range(q)) + [q + rep]
+                grid_lls[gi, rep] = bigscan._ll_from_solution(
+                    Y[:, rep], Xi, Sol[:, cols], ld)[0]
+
+        import scipy.optimize as _opt
+        for rep in range(R):
+            r_glob = c0 + rep
+            y_perm = Y[:, rep]
+            gi = int(np.argmax(grid_lls[:, rep]))
+            lo = grid[max(gi - 1, 0)]
+            hi = grid[min(gi + 1, ngrids)]
+            res = _opt.minimize_scalar(
+                lambda ld: -ll_of(rep, math.exp(ld)),
+                bounds=(math.log(lo), math.log(hi)), method="bounded",
+                options={"xatol": 1e-3})
+            d0 = float(math.exp(res.x))
+            ll0, yPy = bigscan._ll_from_solution(
+                y_perm, Xi, sk.solve(d0)[:, list(range(q)) + [q + rep]],
+                ctx.logdet(d0))
+            s2g = yPy / (n - q)
+            fit0 = reml_core.RemlResult(delta=d0, loglik=ll0,
+                                        sigma2_g=s2g,
+                                        sigma2_e=d0 * s2g)
+            hint = d0
+            _, cand, _ = bigscan.score_sweep_matfree(
+                ctx, backend, y_perm, X0, fit0, column_f64=column_f64,
+                Z=Z)
+            w_col = column_f64(cand)
+            x_col = Z @ w_col if Z is not None else w_col
+            X1 = np.hstack([X0, x_col[:, None]])
+            fit1 = bigscan.reml_maximize_matfree(ctx, y_perm, X1,
+                                                 delta_hint=d0)
+            lam_crits[r_glob] = (
+                2.0 * (fit1.loglik - fit0.loglik) - math.log(n)
+            ) / (2.0 * log_choose_p1)
+            if not quiet:
+                print(f"[fpr4am:matfree] rep={r_glob} cand={cand} "
+                      f"lambda_crit={lam_crits[r_glob]:.4f}")
     return lam_crits
