@@ -401,6 +401,47 @@ class TiledScan:
             yield from self._wcache
             return
         cache = [] if self.cache_device else None
+
+        # 2-bit packed stores ship raw bytes and unpack on-device (4× less
+        # H2D); pad rows with 0x55 = four het codes → W = 0, inert
+        raw_iter = None
+        get_raw = getattr(self.src, "raw_packed_tiles", None)
+        if get_raw is not None:
+            raw_iter = get_raw(self.tile_snps)
+
+        # EAGLE_SYNC_STREAM=1: issue every device op from the CALLING
+        # thread (no producer thread / no H2D-compute overlap). Fallback
+        # for PJRT transports that deadlock on device ops from secondary
+        # threads — observed on this sandbox's relay backend in degraded
+        # states; harmless elsewhere (just loses the overlap).
+        import os as _os
+        if _os.environ.get("EAGLE_SYNC_STREAM") == "1":
+            if raw_iter is not None:
+                for j0, raw in raw_iter:
+                    b = raw.shape[0]
+                    if b < self.tile_snps:
+                        pad = np.full((self.tile_snps - b, raw.shape[1]),
+                                      0x55, dtype=np.uint8)
+                        raw = np.vstack([raw, pad])
+                    w = kernels.unpack_recode_tile(
+                        jnp.asarray(raw), n=self.src.n,
+                        compute_dtype=self.config.compute_dtype)
+                    if cache is not None:
+                        cache.append((j0, b, w))
+                    yield j0, b, w
+            else:
+                for j0, tile in self.src.tiles(self.tile_snps):
+                    b = tile.shape[0]
+                    w = kernels.recode_impute_tile(
+                        jnp.asarray(_pad_tile(tile, self.tile_snps)),
+                        compute_dtype=self.config.compute_dtype)
+                    if cache is not None:
+                        cache.append((j0, b, w))
+                    yield j0, b, w
+            if cache is not None:
+                self._wcache = cache
+            return
+
         # double-buffered host→device streaming: a producer thread reads
         # the next tile from the store and enqueues its H2D transfer while
         # the device computes on the current one (the rebuild's overlap of
@@ -409,13 +450,6 @@ class TiledScan:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
-
-        # 2-bit packed stores ship raw bytes and unpack on-device (4× less
-        # H2D); pad rows with 0x55 = four het codes → W = 0, inert
-        raw_iter = None
-        get_raw = getattr(self.src, "raw_packed_tiles", None)
-        if get_raw is not None:
-            raw_iter = get_raw(self.tile_snps)
 
         def producer():
             try:

@@ -195,3 +195,26 @@ def test_device_only_eigenbasis_with_zmat(sim):
     res_d = engine_jax.forward_select(y_rec, X0, _handle(simz), maxit=6,
                                       Z=Z, config=cfg)
     assert res_d.indices == res_h.indices
+
+
+def test_sync_stream_matches_threaded(monkeypatch):
+    """EAGLE_SYNC_STREAM=1 (no producer thread — fallback for PJRT
+    transports that deadlock on secondary-thread device ops) must yield
+    identical tiles/results to the default double-buffered path."""
+    import os
+
+    from eagleeverything_tpu.data.simulate import simulate_dataset
+    from eagleeverything_tpu.io.genostore import GenotypeStore
+    from eagleeverything_tpu.models import engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+
+    sim = simulate_dataset(n=60, p=700, n_qtl=1, seed=3)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        GenotypeStore.create_from_dense(d, sim.geno, n_shards=2,
+                                        packed=True)
+        src = engine_jax.StoreTileSource(d)
+        K_thr = engine_jax.TiledScan(src, EagleConfig()).compute_K()
+        monkeypatch.setenv("EAGLE_SYNC_STREAM", "1")
+        K_sync = engine_jax.TiledScan(src, EagleConfig()).compute_K()
+    np.testing.assert_array_equal(K_thr, K_sync)
