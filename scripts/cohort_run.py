@@ -83,9 +83,11 @@ def generate(dir: str, n: int, p: int, n_qtl: int = 8,
           f"{meta['store_bytes'] / 1e9:.2f} GB", flush=True)
 
 
-def run(dir: str, maxit: int, engine: str) -> None:
+def run(dir: str, maxit: int, engine: str,
+        host_eigh_max_n: int = 32768) -> None:
     from eagleeverything_tpu.api.am import am
     from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.utils.config import EagleConfig
     from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
 
     enable_compilation_cache()
@@ -95,9 +97,13 @@ def run(dir: str, maxit: int, engine: str) -> None:
     handle = GenoHandle(n=meta["n"], p=meta["p"], source="cohort",
                         store_dir=os.path.join(dir, "store"))
     log = os.path.join(dir, "scan_log.jsonl")
+    # host f64 eigh up to 32k: minutes on the host CPUs and keeps the
+    # decision path f64; device f32 eigh only above that (where the n×n
+    # no longer fits host LAPACK comfortably)
+    cfg = EagleConfig(host_eigh_max_n=host_eigh_max_n)
     t0 = time.perf_counter()
     res = am("y", handle, {"y": y}, maxit=maxit, engine=engine,
-             quiet=False, log_jsonl=log,
+             quiet=False, log_jsonl=log, config=cfg,
              ckpt_dir=os.path.join(dir, "ckpt"))
     wall = time.perf_counter() - t0
     out = {
