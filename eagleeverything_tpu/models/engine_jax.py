@@ -259,21 +259,44 @@ def _pad_tile(tile: np.ndarray, tile_snps: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
-def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
-                   s0: jax.Array, tol: jax.Array, maxiter: int) -> jax.Array:
-    """Blocked CG for H·X = B, H = WᵀW/s0 + δI, fully on device.
+def _dense_kv(W: jax.Array, V: jax.Array) -> jax.Array:
+    """Wᵀ(W·V) for a device-resident recoded stack W (p_pad, n)."""
+    BV = jnp.dot(W, V, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        W, BV, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-    Classic per-column CG with converged columns frozen (as in
-    bigscan.blocked_cg); one while_loop, two GEMMs per iteration."""
 
-    def matvec(V):
-        BV = jnp.dot(W, V, preferred_element_type=jnp.float32)
-        KV = jax.lax.dot_general(
-            W, BV, dimension_numbers=(((0,), (0,)), ((), ())),
+def _packed_kv(Wp: jax.Array, V: jax.Array, n: int, tile: int) -> jax.Array:
+    """Wᵀ(W·V) over a device-resident 2-BIT PACKED stack Wp (p_pad, ⌈n/4⌉
+    uint8), unpacking one tile at a time INSIDE the loop.
+
+    This is the biobank-n enabler on one chip: at 50k×1M the packed bytes
+    (12.5 GB) fit v5e HBM while the recoded f32/bf16 stack (100–200 GB)
+    cannot, so every Krylov matvec is an HBM-bandwidth pass instead of a
+    host→device re-stream (reference analog: the per-iteration ReadBlock
+    sweep of ``calculate_a_and_vara_rcpp``, SURVEY.md §4.2 — with the
+    "disk" now being HBM). Rows padded with 0x55 (four het codes) unpack
+    to W = 0 and are inert."""
+    nb = Wp.shape[1]
+    n_tiles = Wp.shape[0] // tile
+
+    def body(i, acc):
+        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nb))
+        w = kernels.unpack_recode_tile(raw, n=n, compute_dtype="float32")
+        bv = jnp.dot(w, V, preferred_element_type=jnp.float32)
+        return acc + jax.lax.dot_general(
+            w, bv, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return KV / s0 + delta * V
 
+    return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros_like(V))
+
+
+def _cg_loop(matvec_h, B: jax.Array, tol: jax.Array,
+             maxiter: int) -> jax.Array:
+    """Blocked CG for H·X = B with converged columns frozen (as in
+    bigscan.blocked_cg); one while_loop, two GEMMs per iteration.
+    ``matvec_h`` applies the full shifted operator H = K/s0 + δI."""
     b_norm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
 
     def cond(state):
@@ -283,7 +306,7 @@ def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
     def body(state):
         X, R, P, rs, k = state
         active = rs > tol * tol * b_norm2
-        HP = matvec(P)
+        HP = matvec_h(P)
         pHp = jnp.sum(P * HP, axis=0)
         alpha = jnp.where(active & (pHp > 0),
                           rs / jnp.maximum(pHp, 1e-30), 0.0)
@@ -300,21 +323,29 @@ def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
     return X
 
 
-@functools.partial(jax.jit, static_argnames=("m", "reorth"))
-def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
-                        m: int, reorth: bool):
-    """Batched Lanczos on the UNSHIFTED kernel K = WᵀW/s0, fully on device
-    (one fori_loop; basis kept in HBM). Returns (alphas (m,r),
-    betas (m-1,r), z_norm (r,), basis (m,n,r)) for bigscan.ShiftedKrylov."""
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
+                   s0: jax.Array, tol: jax.Array, maxiter: int) -> jax.Array:
+    """Device CG on H = WᵀW/s0 + δI with a dense recoded stack W."""
+    return _cg_loop(lambda V: _dense_kv(W, V) / s0 + delta * V,
+                    B, tol, maxiter)
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "n", "tile"))
+def _device_cg_packed_jit(Wp: jax.Array, B: jax.Array, delta: jax.Array,
+                          s0: jax.Array, tol: jax.Array, maxiter: int,
+                          n: int, tile: int) -> jax.Array:
+    """Device CG with the 2-bit packed stack: each matvec unpacks tiles
+    on the fly (HBM-bandwidth bound; no host round-trips)."""
+    return _cg_loop(lambda V: _packed_kv(Wp, V, n, tile) / s0 + delta * V,
+                    B, tol, maxiter)
+
+
+def _lanczos_loop(matvec_k, Z: jax.Array, m: int, reorth: bool):
+    """Batched Lanczos on the UNSHIFTED kernel K (one fori_loop; basis
+    kept in HBM). Returns (alphas (m,r), betas (m-1,r), z_norm (r,),
+    basis (m,n,r)) for bigscan.ShiftedKrylov."""
     n, r = Z.shape
-
-    def matvec(V):
-        BV = jnp.dot(W, V, preferred_element_type=jnp.float32)
-        KV = jax.lax.dot_general(
-            W, BV, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return KV / s0
-
     z_norm = jnp.linalg.norm(Z, axis=0)
     V0 = Z / jnp.maximum(z_norm, 1e-30)[None, :]
     basis = jnp.zeros((m + 1, n, r), jnp.float32).at[0].set(V0)
@@ -327,7 +358,7 @@ def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
         km1 = jnp.maximum(k - 1, 0)
         V_prev = jnp.where(k > 0, basis[km1], jnp.zeros_like(V))
         beta_prev = jnp.where(k > 0, betas[km1], jnp.zeros((r,), jnp.float32))
-        Hv = matvec(V)
+        Hv = matvec_k(V)
         alpha = jnp.sum(V * Hv, axis=0)
         Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
         if reorth:
@@ -342,6 +373,46 @@ def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
     basis, alphas, betas = jax.lax.fori_loop(0, m, body,
                                              (basis, alphas, betas))
     return alphas, betas[: m - 1], z_norm, basis[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "reorth"))
+def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
+                        m: int, reorth: bool):
+    """Device Lanczos on K = WᵀW/s0 with a dense recoded stack W."""
+    return _lanczos_loop(lambda V: _dense_kv(W, V) / s0, Z, m, reorth)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "reorth", "n", "tile"))
+def _device_lanczos_packed_jit(Wp: jax.Array, Z: jax.Array, s0: jax.Array,
+                               m: int, reorth: bool, n: int, tile: int):
+    """Device Lanczos with the 2-bit packed stack (in-loop unpack)."""
+    return _lanczos_loop(lambda V: _packed_kv(Wp, V, n, tile) / s0,
+                         Z, m, reorth)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile"))
+def _packed_kernel_matvec_jit(Wp: jax.Array, V: jax.Array,
+                              n: int, tile: int) -> jax.Array:
+    """Unnormalized K·V = Wᵀ(W·V) over the packed stack, one dispatch."""
+    return _packed_kv(Wp, V, n, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile"))
+def _packed_sweep_dots_jit(Wp: jax.Array, A: jax.Array,
+                           n: int, tile: int) -> jax.Array:
+    """Per-SNP dots W·A ((p_pad, r)) over the packed stack, one dispatch
+    (the matfree probe sweep without re-streaming the store)."""
+    nb = Wp.shape[1]
+    n_tiles = Wp.shape[0] // tile
+
+    def body(i, out):
+        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nb))
+        w = kernels.unpack_recode_tile(raw, n=n, compute_dtype="float32")
+        d = jnp.dot(w, A, preferred_element_type=jnp.float32)
+        return jax.lax.dynamic_update_slice(out, d, (i * tile, 0))
+
+    out0 = jnp.zeros((Wp.shape[0], A.shape[1]), jnp.float32)
+    return jax.lax.fori_loop(0, n_tiles, body, out0)
 
 
 def _pad_cols8(B: np.ndarray) -> np.ndarray:
@@ -370,6 +441,18 @@ class TiledScan:
         # cached W tiles live in device HBM — budgeted by device_cache_gb,
         # NOT the host-RAM availmem knob
         self.cache_device = cache_bytes <= config.device_cache_gb * 1e9 * 0.5
+        # when the recoded stack is too big but the 2-BIT PACKED bytes fit
+        # (16× smaller than f32), keep the packed store itself resident in
+        # HBM and unpack per tile inside the device loops — at 50k×1M the
+        # 12.5 GB packed store fits one v5e chip and every sweep/Krylov
+        # pass becomes HBM-bound instead of host→device-bound
+        p_pad = -(-src.p // self.tile_snps) * self.tile_snps
+        packed_bytes = p_pad * (-(-src.n // 4))
+        self.cache_packed_device = (
+            not self.cache_device
+            and getattr(src, "raw_packed_tiles", None) is not None
+            and packed_bytes <= config.device_cache_gb * 1e9 * 0.9)
+        self._pstack: Optional[jax.Array] = None
         # multi-device: place each streamed tile SNP-sharded over the mesh;
         # jit propagates the sharding through recode/MMt/score and inserts
         # the psum for the MMt contraction (GSPMD) — the streamed analog of
@@ -388,7 +471,45 @@ class TiledScan:
             else kernels.score_tile_sqrt
         )
 
+    def _packed_stack(self) -> Optional[jax.Array]:
+        """The whole 2-bit packed store as ONE device-resident (p_pad,
+        ⌈n/4⌉) uint8 array, or None when ineligible. Built incrementally
+        with donated dynamic_update_slice so peak HBM is 1× the packed
+        size (a concatenate would transiently need 2×). Rows p..p_pad are
+        0x55 (four het codes → W = 0, inert)."""
+        if self._pstack is not None:
+            return self._pstack
+        if not self.cache_packed_device:
+            return None
+        get_raw = getattr(self.src, "raw_packed_tiles", None)
+        it = get_raw(self.tile_snps) if get_raw is not None else None
+        if it is None:  # store not packed / rows masked — checked at call
+            self.cache_packed_device = False
+            return None
+        nb = -(-self.src.n // 4)
+        p_pad = -(-self.src.p // self.tile_snps) * self.tile_snps
+        upd = jax.jit(
+            lambda buf, t, o: jax.lax.dynamic_update_slice(buf, t, (o, 0)),
+            donate_argnums=(0,))
+        buf = jnp.full((p_pad, nb), 0x55, dtype=jnp.uint8)
+        for j0, raw in it:  # shard-bounded tiles: contiguous, varying b
+            buf = upd(buf, jnp.asarray(np.ascontiguousarray(raw)), j0)
+        self._pstack = buf
+        return buf
+
     def _device_tiles(self) -> Iterator[tuple[int, int, jax.Array]]:
+        if self.cache_packed_device:
+            Wp = self._packed_stack()
+            if Wp is not None:
+                # resident packed bytes: unpack per tile on device — no
+                # host→device traffic, uniform tile chunking
+                for t0 in range(0, self.src.p, self.tile_snps):
+                    b = min(self.tile_snps, self.src.p - t0)
+                    w = kernels.unpack_recode_tile(
+                        Wp[t0 : t0 + self.tile_snps], n=self.src.n,
+                        compute_dtype=self.config.compute_dtype)
+                    yield t0, b, w
+                return
         if getattr(self, "_wstack", None) is not None:
             # the W stack superseded the per-tile cache (same bytes once,
             # not twice) — serve tiles as row slices of it
@@ -575,6 +696,12 @@ class TiledScan:
         """Raw-kernel matvec MMt·V (V (n, r)) via streamed tiles — K is
         never materialized (biobank n; docs/design_biobank_scale.md)."""
         V_d = jnp.asarray(V, dtype=jnp.float32)
+        if self.cache_packed_device:
+            Wp = self._packed_stack()
+            if Wp is not None:  # one dispatch over the resident bytes
+                acc = _packed_kernel_matvec_jit(
+                    Wp, V_d, n=self.src.n, tile=self.tile_snps)
+                return np.asarray(acc, dtype=np.float64)
         acc = jnp.zeros((self.src.n, V_d.shape[1]), dtype=jnp.float32)
         for _, _, w in self._device_tiles():
             acc = acc + kernels.kernel_matvec_tile(w, V_d)
@@ -607,13 +734,21 @@ class TiledScan:
         at 1e-6; the host CG's matvec is f32 too, so the achievable
         accuracy is the same (reference hot loop: SURVEY.md §3.3's
         ``calculate_a_and_vara``-era Eigen solves, re-aimed at CG)."""
-        W = self._w_stack()
-        if W is None:
-            return None
         r = B.shape[1]
-        X = _device_cg_jit(W, jnp.asarray(_pad_cols8(B), jnp.float32),
-                           jnp.float32(delta), jnp.float32(s0),
-                           jnp.float32(max(tol, 1e-6)), maxiter)
+        W = self._w_stack()
+        if W is not None:
+            X = _device_cg_jit(W, jnp.asarray(_pad_cols8(B), jnp.float32),
+                               jnp.float32(delta), jnp.float32(s0),
+                               jnp.float32(max(tol, 1e-6)), maxiter)
+            return np.asarray(X, dtype=np.float64)[:, :r]
+        Wp = self._packed_stack()
+        if Wp is None:
+            return None
+        X = _device_cg_packed_jit(
+            Wp, jnp.asarray(_pad_cols8(B), jnp.float32),
+            jnp.float32(delta), jnp.float32(s0),
+            jnp.float32(max(tol, 1e-6)), maxiter,
+            n=self.src.n, tile=self.tile_snps)
         return np.asarray(X, dtype=np.float64)[:, :r]
 
     def device_lanczos(self, Z: np.ndarray, m: int, reorth: bool,
@@ -623,17 +758,31 @@ class TiledScan:
         (m,n,r) f32) or None when tiles aren't HBM-cached. Columns are
         zero-padded to a multiple of 8 (inert) to bound recompiles."""
         W = self._w_stack()
-        if W is None:
+        if W is not None:
+            a, b, zn, basis = _device_lanczos_jit(
+                W, jnp.asarray(_pad_cols8(Z), jnp.float32), jnp.float32(s0),
+                min(m, self.src.n), bool(reorth))
+            return (np.asarray(a, np.float64), np.asarray(b, np.float64),
+                    np.asarray(zn, np.float64), basis)
+        Wp = self._packed_stack()
+        if Wp is None:
             return None
-        a, b, zn, basis = _device_lanczos_jit(
-            W, jnp.asarray(_pad_cols8(Z), jnp.float32), jnp.float32(s0),
-            min(m, self.src.n), bool(reorth))
+        a, b, zn, basis = _device_lanczos_packed_jit(
+            Wp, jnp.asarray(_pad_cols8(Z), jnp.float32), jnp.float32(s0),
+            min(m, self.src.n), bool(reorth),
+            n=self.src.n, tile=self.tile_snps)
         return (np.asarray(a, np.float64), np.asarray(b, np.float64),
                 np.asarray(zn, np.float64), basis)
 
     def sweep_dots(self, A: np.ndarray) -> np.ndarray:
         """Per-SNP dot products Wᵀ·A ((p, r)) via streamed tiles."""
         A_d = jnp.asarray(A, dtype=jnp.float32)
+        if self.cache_packed_device:
+            Wp = self._packed_stack()
+            if Wp is not None:  # one dispatch; rows map 1:1 to SNPs
+                out = _packed_sweep_dots_jit(
+                    Wp, A_d, n=self.src.n, tile=self.tile_snps)
+                return np.asarray(out, dtype=np.float64)[: self.src.p]
         out = np.empty((self.src.p, A.shape[1]))
         for j0, b, w in self._device_tiles():
             out[j0 : j0 + b] = np.asarray(

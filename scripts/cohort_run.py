@@ -46,11 +46,22 @@ def generate(dir: str, n: int, p: int, n_qtl: int = 8,
         t0 = time.perf_counter()
         for j0 in range(0, p, block):
             b = min(block, p - j0)
-            # per-SNP MAF in [0.05, 0.5]; HWE genotypes 0/1/2
+            # per-SNP MAF in [0.05, 0.5]; HWE genotypes 0/1/2. uint8
+            # randoms + two thresholded bool views: ~8× less random bits
+            # and no int64 temporaries vs the float64 formulation (13 min
+            # for the full 50k×1M store on this 2-core host, not 7.5 h)
             maf = rng.uniform(0.05, 0.5, size=(b, 1))
-            u = rng.random(size=(b, n))
-            blk = ((u < maf**2) * 2 + ((u >= maf**2)
-                   & (u < maf**2 + 2 * maf * (1 - maf)))).astype(np.int8)
+            t_hom = np.broadcast_to(
+                (256.0 * maf**2).astype(np.uint8), (b, n))
+            t_het = np.broadcast_to(
+                (256.0 * (maf**2 + 2 * maf * (1 - maf))).astype(np.uint8),
+                (b, n))
+            u = rng.integers(0, 256, size=(b, n), dtype=np.uint8)
+            lt1 = np.empty((b, n), dtype=bool)
+            lt2 = np.empty((b, n), dtype=bool)
+            np.less(u, t_hom, out=lt1)
+            np.less(u, t_het, out=lt2)
+            blk = lt1.view(np.int8) + lt2.view(np.int8)
             if j0 == 0:
                 for q in qtl_idx:
                     qtl_cols[int(q)] = blk[q].astype(np.float64)
@@ -97,10 +108,15 @@ def run(dir: str, maxit: int, engine: str,
     handle = GenoHandle(n=meta["n"], p=meta["p"], source="cohort",
                         store_dir=os.path.join(dir, "store"))
     log = os.path.join(dir, "scan_log.jsonl")
-    # host f64 eigh up to 32k: minutes on the host CPUs and keeps the
-    # decision path f64; device f32 eigh only above that (where the n×n
-    # no longer fits host LAPACK comfortably)
-    cfg = EagleConfig(host_eigh_max_n=host_eigh_max_n)
+    # device_cache_gb=14.5 admits the DEVICE-RESIDENT PACKED STACK at
+    # 50k×1M (12.5 GB of 2-bit bytes in 16 GB v5e HBM; engine_jax
+    # _packed_stack): every Krylov matvec / probe sweep is then an
+    # HBM-bandwidth pass with in-loop unpack instead of re-streaming the
+    # store host→device. snp_tile=1024 bounds the unpacked f32 transient
+    # to ~200 MB per loop step. host_eigh_max_n only matters for the
+    # (infeasible-at-this-n) eigenbasis engine — see engine note in main().
+    cfg = EagleConfig(host_eigh_max_n=host_eigh_max_n,
+                      device_cache_gb=14.5, snp_tile=1024)
     t0 = time.perf_counter()
     res = am("y", handle, {"y": y}, maxit=maxit, engine=engine,
              quiet=False, log_jsonl=log, config=cfg,
@@ -127,9 +143,12 @@ def main() -> None:
     ap.add_argument("--gen", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--maxit", type=int, default=3)
-    # n=50k: the device-resident-U eigenbasis path (f32 U = 10 GB HBM);
-    # "auto" would route to matfree at this n, which is the n>100k answer
-    ap.add_argument("--engine", default="jax")
+    # matfree is the ONLY single-chip-feasible engine at 50k×1M: the
+    # eigenbasis path needs T = Wᵀ·U once per scan — 2·n²·p ≈ 5×10^18
+    # flops (≈7 h of v5e peak) plus a 200 GB T cache — while matfree is
+    # O(n·p·r) per iteration over the HBM-resident packed stack. "auto"
+    # routes here too (n > matfree_min_n = 32768).
+    ap.add_argument("--engine", default="matfree")
     args = ap.parse_args()
     if args.gen or not os.path.exists(os.path.join(args.dir, "meta.json")):
         generate(args.dir, args.n, args.p)
