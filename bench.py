@@ -38,7 +38,8 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for smoke-testing the harness")
     ap.add_argument("--config", default="sweep",
-                    choices=["sweep", "cohort", "multitrait", "eigsweep"],
+                    choices=["sweep", "cohort", "cohort-full",
+                             "multitrait", "eigsweep"],
                     help="sweep: resident-tile scan kernel (default); "
                          "cohort: out-of-core packed-store streaming scan "
                          "(BASELINE config 3 scaled); multitrait: batched "
@@ -128,6 +129,7 @@ def main() -> None:
         def _watchdog_fire():
             metric = {
                 "cohort": "snps_scored_per_sec_per_chip_outofcore",
+                "cohort-full": "snps_scored_per_sec_per_chip_cohort_full",
                 "multitrait": "trait_snps_scored_per_sec_per_chip",
             }.get(args.config, "snps_scored_per_sec_per_chip")
             print(json.dumps({
@@ -147,6 +149,8 @@ def main() -> None:
         args.traits = 4
     if args.config == "cohort":
         return bench_cohort(args)
+    if args.config == "cohort-full":
+        return bench_cohort_full(args)
     if args.config == "multitrait":
         return bench_multitrait(args)
     if args.config == "eigsweep":
@@ -283,6 +287,70 @@ def bench_cohort(args) -> None:
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_cohort_full(args) -> None:
+    """BASELINE config 3 at TRUE scale (50k × 1M): the matfree engine's
+    per-iteration probe sweep over the DEVICE-RESIDENT 2-bit packed stack
+    (12.5 GB in HBM, in-loop unpack — engine_jax._packed_sweep_dots_jit).
+
+    Needs the cohort store on disk (scripts/cohort_run.py --gen, ~8 min;
+    /tmp is wiped between sandbox sessions). Without it, emits an
+    explanatory JSON error line instead of fabricating a number."""
+    import os
+
+    from eagleeverything_tpu.models import engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+
+    cdir = os.environ.get("EAGLE_COHORT_DIR", "/tmp/eagle_cohort")
+    store = os.path.join(cdir, "store")
+    if not os.path.exists(os.path.join(store, "manifest.json")):
+        print(json.dumps({
+            "metric": "snps_scored_per_sec_per_chip_cohort_full",
+            "value": 0.0, "unit": "SNPs/s", "vs_baseline": None,
+            "detail": {"error": f"no cohort store at {store}; generate "
+                                "with scripts/cohort_run.py --gen "
+                                "(50k x 1M, ~8 min + 12.5 GB disk)"},
+        }))
+        return
+    src = engine_jax.StoreTileSource(store)
+    n, p = src.n, src.p
+    cfg = EagleConfig(device_cache_gb=14.5, snp_tile=1024)
+    scan = engine_jax.TiledScan(src, cfg)
+    assert scan.cache_packed_device, "packed stack ineligible?"
+    rng = np.random.default_rng(0)
+    # the matfree sweep's A block: [Py, HiX, isqrt probes] = 1+q+128 cols
+    A = rng.standard_normal((n, 136)).astype(np.float32)
+
+    t_up0 = time.perf_counter()
+    scan._packed_stack()           # H2D upload of the packed bytes, once
+    upload_s = time.perf_counter() - t_up0
+    scan.sweep_dots(A)             # warm-up/compile
+    times = []
+    for _ in range(max(args.reps // 2, 2)):
+        start = time.perf_counter()
+        scan.sweep_dots(A)
+        times.append(time.perf_counter() - start)
+    secs = float(np.median(times))
+    print(json.dumps({
+        "metric": "snps_scored_per_sec_per_chip_cohort_full",
+        "value": round(p / secs, 1),
+        "unit": "SNPs/s",
+        "vs_baseline": None,
+        "detail": {
+            "n_individuals": n, "p_snps": p,
+            "store": "2bit-packed, device-resident",
+            "backend": jax.default_backend(),
+            "probe_cols": 136,
+            "sweep_wallclock_s": round(secs, 3),
+            "stack_upload_s": round(upload_s, 1),
+            "effective_gflops": round(2.0 * p * n * 136 / secs / 1e9, 1),
+            "hbm_read_gb_per_sweep": round(p * n / 4 / 1e9, 2),
+        },
+    }))
 
 
 def bench_eigsweep(args) -> None:

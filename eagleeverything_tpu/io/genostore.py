@@ -302,12 +302,23 @@ class GenotypeStore:
         decoding — for 2-bit stores the packed bytes go to the device as-is
         and are unpacked on-chip (4× less H2D traffic; ops/kernels
         unpack_recode_tile)."""
+        yield from self.iter_raw_tiles_in(0, self.p, tile_snps)
+
+    def iter_raw_tiles_in(
+        self, lo: int, hi: int, tile_snps: int
+    ) -> Iterator[tuple[int, np.ndarray]]:
+        """Range-restricted iter_raw_tiles: only shards intersecting
+        [lo, hi) are opened (host-local shard reads in multi-host SPMD,
+        mirroring ``tiles_in``)."""
         for k in range(self.n_shards):
+            s0, s1 = self.shard_offsets[k], self.shard_offsets[k + 1]
+            if s1 <= lo or s0 >= hi:
+                continue
             raw = self._shard_raw(k)
-            j0 = self.shard_offsets[k]
-            for t0 in range(0, raw.shape[0], tile_snps):
-                t1 = min(t0 + tile_snps, raw.shape[0])
-                yield j0 + t0, np.asarray(raw[t0:t1])
+            a, b = max(s0, lo), min(s1, hi)
+            for t0 in range(a, b, tile_snps):
+                t1 = min(t0 + tile_snps, b)
+                yield t0, np.asarray(raw[t0 - s0 : t1 - s0])
 
     def column(self, j: int) -> np.ndarray:
         """One genotype column (SNP j) — reference: ``extract_geno_rcpp``

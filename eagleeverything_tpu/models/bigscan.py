@@ -481,19 +481,17 @@ def score_sweep_matfree(
     probes = rng.choice((-1.0, 1.0), size=(n, diag_probes))
     HZp = ctx.isqrt_probes(fit.delta, probes)
 
-    # one streamed pass computes all per-SNP dot products; with an
-    # incidence matrix the effective sweep columns are Z·w_j, so dots
-    # against record-level vectors become Wᵀ·(Zᵀ·A). On a multi-host
-    # backend D holds only this process's SNP rows.
-    A = np.column_stack([Py, HiX, HZp])           # (n_rec, 1+q+r)
-    D = backend.sweep_dots(Z.T @ A if Z is not None else A)
-    ahat_l = D[:, 0]
-    U_l = D[:, 1 : 1 + q]
-    WHZ_l = D[:, 1 + q :]
-
+    # one device pass computes all per-SNP statistics; with an incidence
+    # matrix the effective sweep columns are Z·w_j, so dots against
+    # record-level vectors become Wᵀ·(Zᵀ·A). On a multi-host backend the
+    # rows are this process's SNP range. Backends with an HBM-resident
+    # packed stack reduce the probe block on device (engine_jax
+    # _packed_matfree_stats_jit: (p, q+3) transferred, not (p, 1+q+r));
+    # others fall back to one sweep_dots pass + host reduction.
     XtHiX_inv = np.linalg.inv(XtHiX)
-    proj_l = np.einsum("jq,qr,jr->j", U_l, XtHiX_inv, U_l)
-    diag_l = np.mean(WHZ_l * WHZ_l, axis=1)
+    A = np.column_stack([Py, HiX, HZp])           # (n_rec, 1+q+r)
+    ahat_l, U_l, diag_l, proj_l = backend.matfree_stat_rows(
+        Z.T @ A if Z is not None else A, q, XtHiX_inv)
     vara_l = fit.sigma2_g * np.maximum(diag_l - proj_l, 1e-12)
     with np.errstate(divide="ignore", invalid="ignore"):
         t_est_l = np.where(vara_l > 1e-12, ahat_l * ahat_l / vara_l, 0.0)
@@ -791,7 +789,7 @@ def forward_select_matfree(
                                         delta_hint=fit.delta)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p,
                                     len(selected) + 1, lam_ebic)
-        accepted = ebic_new < best or fixit
+        accepted = bool(ebic_new < best) or fixit
         logger.event("iteration", it=it, candidate=cand,
                      t_max=float(t[cand]), extbic=float(ebic_new),
                      accepted=accepted)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 
 import functools
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -124,6 +125,13 @@ class StoreTileSource(TileSource):
             return None
         return self._store.iter_raw_tiles(tile_snps)
 
+    def raw_packed_tiles_in(self, lo: int, hi: int, tile_snps: int):
+        """Range-restricted raw tiles (host-local shards in SPMD), or
+        None under the same conditions as raw_packed_tiles."""
+        if not self._store.packed or self._keep is not None:
+            return None
+        return self._store.iter_raw_tiles_in(lo, hi, tile_snps)
+
     def column(self, j: int) -> np.ndarray:
         col = self._store.column(j)
         return col if self._keep is None else col[self._keep]
@@ -143,6 +151,16 @@ class RangeTileSource(TileSource):
     def tiles(self, tile_snps: int):
         for j0, tile in self.base.tiles_in(self.lo, self.hi, tile_snps):
             yield j0 - self.lo, tile
+
+    def raw_packed_tiles(self, tile_snps: int):
+        """Local-range packed tiles with re-zeroed offsets — lets the
+        per-host packed stack (engine: _packed_stack) serve multi-host
+        SPMD: each process keeps only ITS shard's bytes HBM-resident."""
+        get = getattr(self.base, "raw_packed_tiles_in", None)
+        it = get(self.lo, self.hi, tile_snps) if get is not None else None
+        if it is None:
+            return None
+        return ((j0 - self.lo, raw) for j0, raw in it)
 
     def column(self, j: int) -> np.ndarray:
         return self.base.column(self.lo + j)
@@ -292,6 +310,16 @@ def _packed_kv(Wp: jax.Array, V: jax.Array, n: int, tile: int) -> jax.Array:
     return jax.lax.fori_loop(0, n_tiles, body, jnp.zeros_like(V))
 
 
+def _packed_kv_any(Wp: jax.Array, V: jax.Array, n: int, tile: int,
+                   means, pallas: bool) -> jax.Array:
+    """Wᵀ(W·V) over the packed stack — fused Pallas kernels when enabled
+    (packed-bytes HBM traffic only), else the XLA unpack-per-tile loop."""
+    if pallas:
+        from eagleeverything_tpu.ops import pallas_packed as pp
+        return pp.kernel_matvec(Wp, V, means, n)
+    return _packed_kv(Wp, V, n, tile)
+
+
 def _cg_loop(matvec_h, B: jax.Array, tol: jax.Array,
              maxiter: int) -> jax.Array:
     """Blocked CG for H·X = B with converged columns frozen (as in
@@ -331,14 +359,38 @@ def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
                     B, tol, maxiter)
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "n", "tile"))
-def _device_cg_packed_jit(Wp: jax.Array, B: jax.Array, delta: jax.Array,
-                          s0: jax.Array, tol: jax.Array, maxiter: int,
-                          n: int, tile: int) -> jax.Array:
-    """Device CG with the 2-bit packed stack: each matvec unpacks tiles
-    on the fly (HBM-bandwidth bound; no host round-trips)."""
-    return _cg_loop(lambda V: _packed_kv(Wp, V, n, tile) / s0 + delta * V,
-                    B, tol, maxiter)
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "n", "tile", "pallas"))
+def _packed_cg_chunk_jit(Wp: jax.Array, X: jax.Array, R: jax.Array,
+                         P: jax.Array, rs: jax.Array, b_norm2: jax.Array,
+                         delta: jax.Array, s0: jax.Array, tol: jax.Array,
+                         means: jax.Array,
+                         chunk: int, n: int, tile: int, pallas: bool):
+    """``chunk`` CG iterations on the packed stack, one dispatch.
+
+    The full-solve single-dispatch form (a while_loop over hundreds of
+    matvecs, each a 12.5 GB HBM pass at 50k×1M) runs multi-minute device
+    programs, which this sandbox's relay worker kills; chunking bounds
+    each dispatch to a few seconds with the Krylov state staying device-
+    resident between calls — the host only reads the (r,) residual block
+    to decide convergence. Identical math to _cg_loop (converged columns
+    frozen), just with the termination check hoisted to the host."""
+
+    def body(_, st):
+        X, R, P, rs = st
+        active = rs > tol * tol * b_norm2
+        HP = _packed_kv_any(Wp, P, n, tile, means, pallas) / s0 + delta * P
+        pHp = jnp.sum(P * HP, axis=0)
+        alpha = jnp.where(active & (pHp > 0),
+                          rs / jnp.maximum(pHp, 1e-30), 0.0)
+        X = X + P * alpha[None, :]
+        R = R - HP * alpha[None, :]
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        P = R + P * beta[None, :]
+        return X, R, P, rs_new
+
+    return jax.lax.fori_loop(0, chunk, body, (X, R, P, rs))
 
 
 def _lanczos_loop(matvec_k, Z: jax.Array, m: int, reorth: bool):
@@ -382,12 +434,41 @@ def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
     return _lanczos_loop(lambda V: _dense_kv(W, V) / s0, Z, m, reorth)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "reorth", "n", "tile"))
-def _device_lanczos_packed_jit(Wp: jax.Array, Z: jax.Array, s0: jax.Array,
-                               m: int, reorth: bool, n: int, tile: int):
-    """Device Lanczos with the 2-bit packed stack (in-loop unpack)."""
-    return _lanczos_loop(lambda V: _packed_kv(Wp, V, n, tile) / s0,
-                         Z, m, reorth)
+@functools.partial(jax.jit, static_argnames=(
+    "m", "reorth", "chunk", "n", "tile", "pallas"))
+def _packed_lanczos_chunk_jit(Wp: jax.Array, basis: jax.Array,
+                              alphas: jax.Array, betas: jax.Array,
+                              k0: jax.Array, s0: jax.Array,
+                              means: jax.Array,
+                              m: int, reorth: bool, chunk: int,
+                              n: int, tile: int, pallas: bool):
+    """``chunk`` Lanczos steps [k0, k0+chunk) on the packed stack, one
+    dispatch — same relay-bounded-dispatch rationale as
+    _packed_cg_chunk_jit; the (m+1, n, r) basis stays device-resident
+    across chunks. Body is identical to _lanczos_loop's."""
+    r = basis.shape[2]
+
+    def body(i, st):
+        basis, alphas, betas = st
+        k = k0 + i
+        V = basis[k]
+        km1 = jnp.maximum(k - 1, 0)
+        V_prev = jnp.where(k > 0, basis[km1], jnp.zeros_like(V))
+        beta_prev = jnp.where(k > 0, betas[km1],
+                              jnp.zeros((r,), jnp.float32))
+        Hv = _packed_kv_any(Wp, V, n, tile, means, pallas) / s0
+        alpha = jnp.sum(V * Hv, axis=0)
+        Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
+        if reorth:
+            mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
+            coef = jnp.einsum("mnr,nr->mr", basis, Wv) * mask[:, None]
+            Wv = Wv - jnp.einsum("mnr,mr->nr", basis, coef)
+        beta = jnp.linalg.norm(Wv, axis=0)
+        Vn = Wv / jnp.maximum(beta, 1e-30)[None, :]
+        return (basis.at[k + 1].set(Vn), alphas.at[k].set(alpha),
+                betas.at[k].set(beta))
+
+    return jax.lax.fori_loop(0, chunk, body, (basis, alphas, betas))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tile"))
@@ -395,6 +476,75 @@ def _packed_kernel_matvec_jit(Wp: jax.Array, V: jax.Array,
                               n: int, tile: int) -> jax.Array:
     """Unnormalized K·V = Wᵀ(W·V) over the packed stack, one dispatch."""
     return _packed_kv(Wp, V, n, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile"))
+def _packed_rowmeans_jit(Wp: jax.Array, n: int, tile: int) -> jax.Array:
+    """Per-SNP mean dose of valid codes ((p_pad, 1) f32) — the impute
+    values the Pallas kernels consume; identical arithmetic to
+    kernels.unpack_recode_tile's on-the-fly tile means."""
+    nb = Wp.shape[1]
+    n_tiles = Wp.shape[0] // tile
+
+    def body(i, out):
+        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nb))
+        codes = jnp.stack(
+            [(raw >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
+        ).reshape(tile, -1)[:, :n]
+        miss = codes == 3
+        g = codes.astype(jnp.float32)
+        cnt = jnp.sum(~miss, axis=1)
+        s = jnp.sum(jnp.where(miss, 0.0, g), axis=1)
+        mean = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 1.0)
+        return jax.lax.dynamic_update_slice(out, mean[:, None], (i * tile, 0))
+
+    return jax.lax.fori_loop(
+        0, n_tiles, body, jnp.ones((Wp.shape[0], 1), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile", "q"))
+def _packed_matfree_stats_jit(Wp: jax.Array, A: jax.Array, Minv: jax.Array,
+                              n: int, tile: int, q: int) -> jax.Array:
+    """Fused matfree sweep statistics over the packed stack, one dispatch.
+
+    A = [P̃y, H⁻¹X (q cols), H^(-1/2)Z probes (r cols)] (n, 1+q+r);
+    Minv = (XᵀH⁻¹X)⁻¹ (q, q). For every SNP row w: â = w·A[:,0],
+    u = w·A[:,1:1+q], Hutchinson diag = mean((w·probes)²), proj = uᵀMinv·u.
+    Returns (p_pad, q+3) f32 rows [â, u, diag, proj] — the r probe columns
+    are REDUCED ON DEVICE, so the host transfer is (p, q+3) instead of
+    (p, 1+q+r): ~30× less device→host traffic per scan iteration
+    (reference hot loop: ``calculate_a_and_vara_rcpp``, SURVEY.md §4.2)."""
+    nb = Wp.shape[1]
+    n_tiles = Wp.shape[0] // tile
+    r = A.shape[1] - 1 - q
+
+    def body(i, out):
+        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nb))
+        w = kernels.unpack_recode_tile(raw, n=n, compute_dtype="float32")
+        D = jnp.dot(w, A, preferred_element_type=jnp.float32)
+        ahat = D[:, :1]
+        U = D[:, 1 : 1 + q]
+        WHZ = D[:, 1 + q :]
+        diag = jnp.sum(WHZ * WHZ, axis=1, keepdims=True) / r
+        proj = jnp.einsum("jq,qr,jr->j", U, Minv, U)[:, None]
+        rows = jnp.concatenate([ahat, U, diag, proj], axis=1)
+        return jax.lax.dynamic_update_slice(out, rows, (i * tile, 0))
+
+    out0 = jnp.zeros((Wp.shape[0], q + 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_tiles, body, out0)
+
+
+@functools.partial(jax.jit, static_argnames=("q",))
+def _stats_from_D_jit(D: jax.Array, Minv: jax.Array, q: int) -> jax.Array:
+    """The matfree sweep's per-SNP statistics from a full dot block D
+    ((p_pad, 1+q+r), device-resident — the Pallas path's epilogue):
+    returns (p_pad, q+3) rows [â, u, diag, proj]."""
+    ahat = D[:, :1]
+    U = D[:, 1 : 1 + q]
+    WHZ = D[:, 1 + q :]
+    diag = jnp.sum(WHZ * WHZ, axis=1, keepdims=True) / WHZ.shape[1]
+    proj = jnp.einsum("jq,qr,jr->j", U, Minv, U)[:, None]
+    return jnp.concatenate([ahat, U, diag, proj], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tile"))
@@ -446,13 +596,29 @@ class TiledScan:
         # HBM and unpack per tile inside the device loops — at 50k×1M the
         # 12.5 GB packed store fits one v5e chip and every sweep/Krylov
         # pass becomes HBM-bound instead of host→device-bound
+        self._pstack: Optional[jax.Array] = None
+        self._pmeans: Optional[jax.Array] = None
+        # fused unpack×GEMM Pallas kernels over the packed stack: auto on
+        # TPU (ops/pallas_packed), forceable via config.pallas_packed
+        from eagleeverything_tpu.ops import pallas_packed
+        self._use_pallas = (
+            config.pallas_packed if config.pallas_packed is not None
+            else pallas_packed.supports())
+        # budget the stack at its PADDED size (Pallas grids need BLK_P/
+        # NB_BLK-aligned dims — ≤2.5% overhead at 50k×1M)
+        import math
         p_pad = -(-src.p // self.tile_snps) * self.tile_snps
-        packed_bytes = p_pad * (-(-src.n // 4))
+        nb_est = -(-src.n // 4)
+        if self._use_pallas:
+            blk = math.lcm(self.tile_snps, pallas_packed.BLK_P)
+            p_pad = -(-p_pad // blk) * blk
+            nb_est = -(-nb_est // pallas_packed.NB_BLK) \
+                * pallas_packed.NB_BLK
+        packed_bytes = p_pad * nb_est
         self.cache_packed_device = (
             not self.cache_device
             and getattr(src, "raw_packed_tiles", None) is not None
             and packed_bytes <= config.device_cache_gb * 1e9 * 0.9)
-        self._pstack: Optional[jax.Array] = None
         # multi-device: place each streamed tile SNP-sharded over the mesh;
         # jit propagates the sharding through recode/MMt/score and inserts
         # the psum for the MMt contraction (GSPMD) — the streamed analog of
@@ -488,14 +654,46 @@ class TiledScan:
             return None
         nb = -(-self.src.n // 4)
         p_pad = -(-self.src.p // self.tile_snps) * self.tile_snps
+        if self._use_pallas:
+            # the Pallas grid needs BLK_P/NB_BLK-aligned dims; extra pad
+            # bytes are 0x55 (inert) and pad plane positions are masked
+            # by to_plane/from_plane — ≤2.5% HBM overhead at 50k×1M
+            from eagleeverything_tpu.ops import pallas_packed as pp
+            import math
+            p_pad = -(-p_pad // math.lcm(self.tile_snps, pp.BLK_P)) \
+                * math.lcm(self.tile_snps, pp.BLK_P)
+            nb = -(-nb // pp.NB_BLK) * pp.NB_BLK
         upd = jax.jit(
             lambda buf, t, o: jax.lax.dynamic_update_slice(buf, t, (o, 0)),
             donate_argnums=(0,))
         buf = jnp.full((p_pad, nb), 0x55, dtype=jnp.uint8)
+        verbose = os.environ.get("EAGLE_STACK_PROGRESS") == "1"
+        import time as _time
+        t0 = _time.perf_counter()
+        done_rows = 0
         for j0, raw in it:  # shard-bounded tiles: contiguous, varying b
             buf = upd(buf, jnp.asarray(np.ascontiguousarray(raw)), j0)
+            done_rows = j0 + raw.shape[0]
+            if verbose and (done_rows // self.tile_snps) % 64 == 0:
+                jax.block_until_ready(buf)
+                el = _time.perf_counter() - t0
+                print(f"[packed-stack] {done_rows}/{self.src.p} SNPs "
+                      f"({el:.0f}s, "
+                      f"{done_rows * raw.shape[1] / max(el, 1e-9) / 1e6:.0f}"
+                      f" MB/s)", flush=True)
+        jax.block_until_ready(buf)
         self._pstack = buf
+        if self._use_pallas:
+            self._pmeans = _packed_rowmeans_jit(
+                buf, n=self.src.n, tile=self.tile_snps)
         return buf
+
+    def _pallas_state(self) -> tuple[jax.Array, bool]:
+        """(means, pallas_on) for the packed-kernel dispatch — a dummy
+        (1,1) means block when the Pallas path is off (inert operand)."""
+        if self._use_pallas and self._pmeans is not None:
+            return self._pmeans, True
+        return jnp.zeros((1, 1), jnp.float32), False
 
     def _device_tiles(self) -> Iterator[tuple[int, int, jax.Array]]:
         if self.cache_packed_device:
@@ -699,8 +897,13 @@ class TiledScan:
         if self.cache_packed_device:
             Wp = self._packed_stack()
             if Wp is not None:  # one dispatch over the resident bytes
-                acc = _packed_kernel_matvec_jit(
-                    Wp, V_d, n=self.src.n, tile=self.tile_snps)
+                means, pallas = self._pallas_state()
+                if pallas:
+                    from eagleeverything_tpu.ops import pallas_packed as pp
+                    acc = pp.kernel_matvec(Wp, V_d, means, self.src.n)
+                else:
+                    acc = _packed_kernel_matvec_jit(
+                        Wp, V_d, n=self.src.n, tile=self.tile_snps)
                 return np.asarray(acc, dtype=np.float64)
         acc = jnp.zeros((self.src.n, V_d.shape[1]), dtype=jnp.float32)
         for _, _, w in self._device_tiles():
@@ -744,12 +947,23 @@ class TiledScan:
         Wp = self._packed_stack()
         if Wp is None:
             return None
-        X = _device_cg_packed_jit(
-            Wp, jnp.asarray(_pad_cols8(B), jnp.float32),
-            jnp.float32(delta), jnp.float32(s0),
-            jnp.float32(max(tol, 1e-6)), maxiter,
-            n=self.src.n, tile=self.tile_snps)
-        return np.asarray(X, dtype=np.float64)[:, :r]
+        chunk = int(os.environ.get("EAGLE_PACKED_CHUNK", "8"))
+        B_d = jnp.asarray(_pad_cols8(B), jnp.float32)
+        b_norm2 = jnp.maximum(jnp.sum(B_d * B_d, axis=0), 1e-30)
+        tol_d = jnp.float32(max(tol, 1e-6))
+        st = (jnp.zeros_like(B_d), B_d, B_d, jnp.sum(B_d * B_d, axis=0))
+        done = 0
+        means, pallas = self._pallas_state()
+        while done < maxiter:
+            st = _packed_cg_chunk_jit(
+                Wp, *st, b_norm2, jnp.float32(delta), jnp.float32(s0),
+                tol_d, means, chunk=min(chunk, maxiter - done),
+                n=self.src.n, tile=self.tile_snps, pallas=pallas)
+            done += chunk
+            rs = np.asarray(st[3])  # (r,) — the only host read per chunk
+            if not np.any(rs > max(tol, 1e-6) ** 2 * np.asarray(b_norm2)):
+                break
+        return np.asarray(st[0], dtype=np.float64)[:, :r]
 
     def device_lanczos(self, Z: np.ndarray, m: int, reorth: bool,
                        s0: float):
@@ -767,27 +981,103 @@ class TiledScan:
         Wp = self._packed_stack()
         if Wp is None:
             return None
-        a, b, zn, basis = _device_lanczos_packed_jit(
-            Wp, jnp.asarray(_pad_cols8(Z), jnp.float32), jnp.float32(s0),
-            min(m, self.src.n), bool(reorth),
-            n=self.src.n, tile=self.tile_snps)
-        return (np.asarray(a, np.float64), np.asarray(b, np.float64),
-                np.asarray(zn, np.float64), basis)
+        m = min(m, self.src.n)
+        chunk = int(os.environ.get("EAGLE_PACKED_CHUNK", "8"))
+        Z_d = jnp.asarray(_pad_cols8(Z), jnp.float32)
+        n_, r = Z_d.shape
+        z_norm = jnp.linalg.norm(Z_d, axis=0)
+        V0 = Z_d / jnp.maximum(z_norm, 1e-30)[None, :]
+        basis = jnp.zeros((m + 1, n_, r), jnp.float32).at[0].set(V0)
+        alphas = jnp.zeros((m, r), jnp.float32)
+        betas = jnp.zeros((m, r), jnp.float32)
+        means, pallas = self._pallas_state()
+        for k0 in range(0, m, chunk):
+            basis, alphas, betas = _packed_lanczos_chunk_jit(
+                Wp, basis, alphas, betas, jnp.int32(k0), jnp.float32(s0),
+                means, m=m, reorth=bool(reorth), chunk=min(chunk, m - k0),
+                n=self.src.n, tile=self.tile_snps, pallas=pallas)
+        return (np.asarray(alphas, np.float64),
+                np.asarray(betas, np.float64)[: m - 1],
+                np.asarray(z_norm, np.float64), basis[:m])
 
     def sweep_dots(self, A: np.ndarray) -> np.ndarray:
         """Per-SNP dot products Wᵀ·A ((p, r)) via streamed tiles."""
-        A_d = jnp.asarray(A, dtype=jnp.float32)
         if self.cache_packed_device:
             Wp = self._packed_stack()
-            if Wp is not None:  # one dispatch; rows map 1:1 to SNPs
-                out = _packed_sweep_dots_jit(
-                    Wp, A_d, n=self.src.n, tile=self.tile_snps)
-                return np.asarray(out, dtype=np.float64)[: self.src.p]
+            if Wp is not None:  # one dispatch; rows map 1:1 to SNPs.
+                # A's width is 1+q+r and q grows each iteration — pad to
+                # a multiple of 8 so the jitted program doesn't recompile
+                # per forward-selection step (zero cols are inert).
+                r = A.shape[1]
+                means, pallas = self._pallas_state()
+                A8 = jnp.asarray(_pad_cols8(A), jnp.float32)
+                if pallas:
+                    from eagleeverything_tpu.ops import pallas_packed as pp
+                    nb = Wp.shape[1]
+                    A3 = pp.to_plane(A8, self.src.n, nb).reshape(
+                        4, nb, A8.shape[1])
+                    out = pp.packed_dot(Wp, A3, means)
+                else:
+                    out = _packed_sweep_dots_jit(
+                        Wp, A8, n=self.src.n, tile=self.tile_snps)
+                return np.asarray(out, dtype=np.float64)[: self.src.p, :r]
+        A_d = jnp.asarray(A, dtype=jnp.float32)
         out = np.empty((self.src.p, A.shape[1]))
         for j0, b, w in self._device_tiles():
             out[j0 : j0 + b] = np.asarray(
                 kernels.sweep_dots_tile(w, A_d))[:b]
         return out
+
+    def matfree_stat_rows(
+        self, A: np.ndarray, q: int, XtHiX_inv: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Per-SNP matfree sweep statistics (â, u, Hutchinson diag, proj)
+        for A = [P̃y, H⁻¹X, H^(-1/2)·probes] — the bigscan sweep's device
+        pass. With the packed stack resident, the probe block is reduced
+        ON DEVICE (one dispatch, (p, q+3) transfer); otherwise one
+        streamed sweep_dots pass + host reduction. q is padded to a
+        multiple of 8 in the fused path so the program doesn't recompile
+        as the model grows (zero u/Minv columns are inert)."""
+        if self.cache_packed_device:
+            Wp = self._packed_stack()
+            if Wp is not None:
+                r = A.shape[1] - 1 - q
+                q8 = -(-max(q, 1) // 8) * 8
+                A_pad = np.zeros((A.shape[0], 1 + q8 + r))
+                A_pad[:, 0] = A[:, 0]
+                A_pad[:, 1 : 1 + q] = A[:, 1 : 1 + q]
+                A_pad[:, 1 + q8 :] = A[:, 1 + q :]
+                M_pad = np.zeros((q8, q8))
+                M_pad[:q, :q] = XtHiX_inv
+                means, pallas = self._pallas_state()
+                if pallas:
+                    # fused Pallas dot → on-device probe reduction; the
+                    # (p, 1+q8+r) D block never leaves HBM
+                    from eagleeverything_tpu.ops import pallas_packed as pp
+                    nb = Wp.shape[1]
+                    A_d = jnp.asarray(A_pad, jnp.float32)
+                    A3 = pp.to_plane(A_d, self.src.n, nb).reshape(
+                        4, nb, A_d.shape[1])
+                    D = pp.packed_dot(Wp, A3, means)
+                    out = np.asarray(_stats_from_D_jit(
+                        D, jnp.asarray(M_pad, jnp.float32), q=q8),
+                        dtype=np.float64)[: self.src.p]
+                else:
+                    out = np.asarray(
+                        _packed_matfree_stats_jit(
+                            Wp, jnp.asarray(A_pad, jnp.float32),
+                            jnp.asarray(M_pad, jnp.float32),
+                            n=self.src.n, tile=self.tile_snps, q=q8),
+                        dtype=np.float64)[: self.src.p]
+                return (out[:, 0], out[:, 1 : 1 + q],
+                        out[:, 1 + q8], out[:, 2 + q8])
+        D = self.sweep_dots(A)
+        ahat = D[:, 0]
+        U = D[:, 1 : 1 + q]
+        WHZ = D[:, 1 + q :]
+        diag = np.mean(WHZ * WHZ, axis=1)
+        proj = np.einsum("jq,qr,jr->j", U, XtHiX_inv, U)
+        return ahat, U, diag, proj
 
     def sweep_batched(
         self, Lp: np.ndarray, Py: np.ndarray, sigma2_g: np.ndarray

@@ -53,6 +53,10 @@ class EagleConfig:
     host_eigh_max_n: int = 8192
     matfree_min_n: int = 32768
     seed: int = 0
+    # fused unpack×GEMM Pallas kernels for the device-resident packed
+    # stack (ops/pallas_packed): None = auto (on for TPU backends, off on
+    # CPU where only interpret mode exists); True/False force it.
+    pallas_packed: Optional[bool] = None
 
     def __post_init__(self):
         if self.compute_dtype not in ("float32", "bfloat16"):

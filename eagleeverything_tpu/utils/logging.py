@@ -16,6 +16,21 @@ import time
 from typing import IO, Optional
 
 
+def _jsonable(v):
+    """json.dumps fallback: numpy scalars/arrays → native Python.
+
+    numpy 2.x bools/floats leak into event fields easily (e.g. a bare
+    ``a < b`` comparison of np.float64 is np.bool_, which json rejects);
+    a 50k×1M scan must not die on a log line (it did, r3)."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return str(v)
+
+
 class ScanLogger:
     def __init__(self, quiet: bool = True, jsonl_path: Optional[str] = None,
                  is_host0: bool = True):
@@ -32,7 +47,7 @@ class ScanLogger:
         rec = {"event": kind, "elapsed_s": round(time.perf_counter() - self._t0, 4)}
         rec.update(fields)
         if self._fh:
-            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.write(json.dumps(rec, default=_jsonable) + "\n")
             self._fh.flush()
         if not self.quiet:
             msg = " ".join(

@@ -115,12 +115,20 @@ def run(dir: str, maxit: int, engine: str,
     # store host→device. snp_tile=1024 bounds the unpacked f32 transient
     # to ~200 MB per loop step. host_eigh_max_n only matters for the
     # (infeasible-at-this-n) eigenbasis engine — see engine note in main().
+    # pallas_packed=False at THIS shape: the fused kernels' Krylov
+    # programs exceed HBM at a 12.8 GB stack (XLA inserts a layout copy
+    # of part of the packed buffer: 16.15 G > 15.75 G usable, measured
+    # r3) — the XLA in-loop unpack path compiles and runs; the Pallas
+    # kernels stay auto-on below ~11 GB stacks (bench --config
+    # cohort-full measures both).
     cfg = EagleConfig(host_eigh_max_n=host_eigh_max_n,
-                      device_cache_gb=14.5, snp_tile=1024)
+                      device_cache_gb=14.5, snp_tile=1024,
+                      pallas_packed=False)
+    ckpt = os.path.join(dir, "ckpt")
     t0 = time.perf_counter()
     res = am("y", handle, {"y": y}, maxit=maxit, engine=engine,
              quiet=False, log_jsonl=log, config=cfg,
-             ckpt_dir=os.path.join(dir, "ckpt"))
+             ckpt_dir=ckpt, resume=os.path.exists(ckpt))
     wall = time.perf_counter() - t0
     out = {
         "config": "BASELINE-3 (50k x 1M, 1 host)" if meta["n"] >= 50000

@@ -119,6 +119,108 @@ def test_packed_device_lanczos_matches(packed_store):
     np.testing.assert_allclose(bp[:8, :4], bs[:8, :4], rtol=1e-3, atol=1e-3)
 
 
+def test_packed_matfree_stat_rows_matches_host_reduction(packed_store):
+    """The fused device statistics (â, u, Hutchinson diag, proj) must
+    match the sweep_dots + host-reduction fallback, including the q→q8
+    zero-padding of u/Minv."""
+    d, _ = packed_store
+    sc_p, sc_s = _scans(d)
+    rng = np.random.default_rng(4)
+    q, r = 3, 16  # q=3 exercises the pad-to-8 path
+    A = np.column_stack([rng.standard_normal((N, 1 + q)),
+                         rng.choice((-1.0, 1.0), size=(N, r))])
+    M = rng.standard_normal((q, q))
+    Minv = M @ M.T + np.eye(q)  # any symmetric matrix works here
+    a_p, U_p, d_p, pr_p = sc_p.matfree_stat_rows(A, q, Minv)
+    a_s, U_s, d_s, pr_s = sc_s.matfree_stat_rows(A, q, Minv)
+    np.testing.assert_allclose(a_p, a_s, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(U_p, U_s, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(d_p, d_s, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pr_p, pr_s, rtol=1e-4, atol=1e-3)
+
+
+NP_, PP_ = 256, 3000  # pallas fixture: nb pads 64→512, so a larger shape
+                      # keeps padded packed bytes below the recoded cache
+
+
+@pytest.fixture(scope="module")
+def pallas_store(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ppstore"))
+    sim = simulate_dataset(n=NP_, p=PP_, n_qtl=2, seed=13,
+                           missing_rate=0.02)
+    GenotypeStore.create_from_dense(d, sim.geno, n_shards=2, packed=True)
+    return d, sim
+
+
+def _pallas_scans(d):
+    """(pallas-forced packed scan, streamed reference scan) — interpret
+    mode on CPU, same call sites as the compiled TPU path. Budget 3e-3 GB:
+    recoded f32 cache (256·3000·4 B) ineligible, padded packed bytes
+    (3072·512 B) eligible."""
+    src = engine_jax.StoreTileSource(d)
+    cfg = EagleConfig(snp_tile=256, device_cache_gb=3e-3,
+                      pallas_packed=True)
+    sc = engine_jax.TiledScan(src, cfg)
+    assert sc.cache_packed_device and sc._use_pallas
+    sc_s = engine_jax.TiledScan(engine_jax.StoreTileSource(d),
+                                EagleConfig(snp_tile=256))
+    assert sc_s.cache_device
+    return sc, sc_s
+
+
+def test_pallas_kernel_matvec_matches(pallas_store):
+    d, _ = pallas_store
+    sc_p, sc_s = _pallas_scans(d)
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((NP_, 5))
+    np.testing.assert_allclose(sc_p.kernel_matvec(V),
+                               sc_s.kernel_matvec(V),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_sweep_dots_and_stats_match(pallas_store):
+    d, _ = pallas_store
+    sc_p, sc_s = _pallas_scans(d)
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((NP_, 9))
+    np.testing.assert_allclose(sc_p.sweep_dots(A), sc_s.sweep_dots(A),
+                               rtol=1e-4, atol=1e-3)
+    q, r = 3, 12
+    A2 = np.column_stack([rng.standard_normal((NP_, 1 + q)),
+                          rng.choice((-1.0, 1.0), size=(NP_, r))])
+    M = rng.standard_normal((q, q))
+    Minv = M @ M.T + np.eye(q)
+    for got, ref in zip(sc_p.matfree_stat_rows(A2, q, Minv),
+                        sc_s.matfree_stat_rows(A2, q, Minv)):
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-2)
+
+
+def test_pallas_device_cg_matches(pallas_store):
+    d, _ = pallas_store
+    sc_p, sc_s = _pallas_scans(d)
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((NP_, 3))
+    s0 = float(np.trace(sc_s.compute_K()) / NP_)
+    Xp = sc_p.device_cg(B, delta=0.7, s0=s0, tol=1e-6, maxiter=400)
+    Xs = sc_s.device_cg(B, delta=0.7, s0=s0, tol=1e-6, maxiter=400)
+    np.testing.assert_allclose(Xp, Xs, rtol=5e-3, atol=5e-3)
+
+
+def test_matfree_scan_on_pallas_stack_matches_dense(pallas_store):
+    d, sim = pallas_store
+    from eagleeverything_tpu.api.am import am
+    from eagleeverything_tpu.api.read import GenoHandle
+
+    h_store = GenoHandle(n=NP_, p=PP_, source="t", store_dir=d)
+    h_dense = GenoHandle(n=NP_, p=PP_, source="t", geno=sim.geno)
+    cfg = EagleConfig(snp_tile=256, device_cache_gb=3e-3,
+                      pallas_packed=True)
+    res_p = am("y", h_store, {"y": sim.y}, maxit=3, engine="matfree",
+               config=cfg)
+    res_d = am("y", h_dense, {"y": sim.y}, maxit=3, engine="matfree")
+    assert res_p.indices == res_d.indices
+
+
 def test_matfree_scan_on_packed_stack_matches_dense(packed_store):
     """Full am(engine='matfree') forced onto the packed-stack backend must
     select the same markers as the in-memory dense engine."""

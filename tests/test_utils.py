@@ -47,6 +47,22 @@ def test_scan_logger_jsonl(tmp_path):
     assert recs[1]["event"] == "iteration"
 
 
+def test_scan_logger_numpy_fields(tmp_path):
+    """numpy scalars (np.bool_ from bare comparisons, np.float64, arrays)
+    must serialize — a 50k×1M scan died on exactly this (r3)."""
+    import numpy as np
+
+    path = str(tmp_path / "log.jsonl")
+    lg = ScanLogger(quiet=True, jsonl_path=path)
+    lg.event("iteration", it=np.int64(0),
+             accepted=(np.float64(1.0) < np.float64(2.0)),
+             extbic=np.float64(3.5), arr=np.arange(3))
+    lg.close()
+    rec = json.loads(open(path).read())
+    assert rec["accepted"] is True and rec["extbic"] == 3.5
+    assert rec["arr"] == [0, 1, 2]
+
+
 def test_scan_logger_non_host0_writes_nothing(tmp_path):
     path = str(tmp_path / "log.jsonl")
     lg = ScanLogger(quiet=True, jsonl_path=path, is_host0=False)
