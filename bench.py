@@ -322,17 +322,22 @@ def bench_cohort_full(args) -> None:
     scan = engine_jax.TiledScan(src, cfg)
     assert scan.cache_packed_device, "packed stack ineligible?"
     rng = np.random.default_rng(0)
-    # the matfree sweep's A block: [Py, HiX, isqrt probes] = 1+q+128 cols
-    A = rng.standard_normal((n, 136)).astype(np.float32)
+    # the matfree sweep's EXACT per-iteration device pass
+    # (matfree_stat_rows = fused stats over the resident packed stack):
+    # A = [P̃y, H⁻¹X (q=1), H^{-1/2} probes (r=128)] — same program the
+    # 50k×1M scan runs, so its compile is already disk-cached
+    q, r = 1, 128
+    A = rng.standard_normal((n, 1 + q + r))
+    Minv = np.ones((q, q))
 
     t_up0 = time.perf_counter()
     scan._packed_stack()           # H2D upload of the packed bytes, once
     upload_s = time.perf_counter() - t_up0
-    scan.sweep_dots(A)             # warm-up/compile
+    scan.matfree_stat_rows(A, q, Minv)   # warm-up/compile
     times = []
     for _ in range(max(args.reps // 2, 2)):
         start = time.perf_counter()
-        scan.sweep_dots(A)
+        scan.matfree_stat_rows(A, q, Minv)
         times.append(time.perf_counter() - start)
     secs = float(np.median(times))
     print(json.dumps({
@@ -344,10 +349,11 @@ def bench_cohort_full(args) -> None:
             "n_individuals": n, "p_snps": p,
             "store": "2bit-packed, device-resident",
             "backend": jax.default_backend(),
-            "probe_cols": 136,
+            "probe_cols": 1 + q + r,
             "sweep_wallclock_s": round(secs, 3),
             "stack_upload_s": round(upload_s, 1),
-            "effective_gflops": round(2.0 * p * n * 136 / secs / 1e9, 1),
+            "effective_gflops": round(
+                2.0 * p * n * (1 + q + r) / secs / 1e9, 1),
             "hbm_read_gb_per_sweep": round(p * n / 4 / 1e9, 2),
         },
     }))

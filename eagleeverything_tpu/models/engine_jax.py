@@ -619,6 +619,12 @@ class TiledScan:
             not self.cache_device
             and getattr(src, "raw_packed_tiles", None) is not None
             and packed_bytes <= config.device_cache_gb * 1e9 * 0.9)
+        # measured r3 on v5e: above ~11 GB of packed bytes the Pallas
+        # programs OOM/hang (XLA stages a layout copy of the uint8 stack:
+        # 16.15 G > 15.75 G usable at 12.8 GB) — auto-gate to the XLA
+        # in-loop unpack there unless the user forced pallas_packed=True
+        if config.pallas_packed is None and packed_bytes > 11e9:
+            self._use_pallas = False
         # multi-device: place each streamed tile SNP-sharded over the mesh;
         # jit propagates the sharding through recode/MMt/score and inserts
         # the psum for the MMt contraction (GSPMD) — the streamed analog of
