@@ -67,52 +67,7 @@ def main() -> None:
     # stderr lines) is kept and emitted in the JSON detail — a relay
     # wedge must be distinguishable from a real perf bug.
     if args.config == "sweep" and not args.single and not args.quick:
-        import subprocess
-        import sys
-        failures = []
-        rungs = [args.p, (args.p * 3) // 4, args.p // 2, args.p // 4]
-        for i, p_try in enumerate(rungs):
-            # first rung gets the full watchdog budget (cold compile);
-            # later rungs shrink so the harness still always terminates
-            per_try = args.watchdog if i == 0 else min(300, args.watchdog)
-            cmd = [sys.executable, __file__, "--single",
-                   "--n", str(args.n), "--p", str(p_try),
-                   "--dtype", args.dtype, "--reps", str(args.reps),
-                   "--watchdog", str(per_try)]
-            try:
-                r = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=per_try + 60)
-            except subprocess.TimeoutExpired as e:
-                failures.append({
-                    "p": p_try, "error": f"timeout after {per_try + 60}s",
-                    "stderr_tail": ((e.stderr or b"").decode(
-                        errors="replace")[-500:] if isinstance(
-                            e.stderr, bytes) else str(e.stderr or ""))[-500:],
-                })
-                continue
-            lines = [ln for ln in r.stdout.splitlines()
-                     if ln.startswith("{")]
-            if r.returncode == 0 and lines:
-                out = json.loads(lines[-1])
-                if failures:
-                    out.setdefault("detail", {})["failed_rungs"] = failures
-                print(json.dumps(out))
-                return
-            failures.append({
-                "p": p_try, "returncode": r.returncode,
-                "stdout_tail": r.stdout[-300:],
-                "stderr_tail": "\n".join(
-                    ln for ln in r.stderr.splitlines()
-                    if "WARNING" not in ln)[-500:],
-            })
-        print(json.dumps({
-            "metric": "snps_scored_per_sec_per_chip", "value": 0.0,
-            "unit": "SNPs/s", "vs_baseline": None,
-            "detail": {"error": "all bench attempts failed "
-                                "(device/relay wedged)",
-                       "failed_rungs": failures},
-        }))
-        raise SystemExit(1)
+        return run_ladder(args)
     if args.watchdog > 0:
         # BOTH mechanisms: a wedged PJRT client blocks holding the GIL, so
         # a Python Timer thread cannot run — faulthandler's C-level
@@ -232,6 +187,152 @@ def main() -> None:
             "sweep_gflops": round(2.0 * p * n * n / dev_secs / 1e9, 1),
         },
     }))
+
+
+def _probe_once(timeout_s: int = 140) -> dict:
+    """Run scripts/probe_chip.py (a 256×256 matmul) in a child process.
+
+    The probe is the sandbox's documented wedge-recovery mechanism: the
+    relay un-wedges after minutes of tiny-op dispatches (BENCHMARKS.md
+    "Environment caveat"). Returns a telemetry dict for the JSON detail.
+    """
+    import os
+    import subprocess
+    import sys
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "probe_chip.py")
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run([sys.executable, script], capture_output=True,
+                           text=True, timeout=timeout_s)
+        return {"t": round(time.perf_counter() - t0, 1),
+                "rc": r.returncode,
+                "out": r.stdout.strip()[-120:],
+                "err": "" if r.returncode == 0 else r.stderr.strip()[-200:]}
+    except subprocess.TimeoutExpired:
+        return {"t": round(time.perf_counter() - t0, 1), "rc": -9,
+                "out": "", "err": f"probe timeout after {timeout_s}s"}
+
+
+def _probe_until_alive(deadline: float, probes: list) -> bool:
+    """Probe repeatedly (~2 min cycle) until one succeeds or the deadline
+    passes. Appends every attempt's telemetry to ``probes``."""
+    while True:
+        res = _probe_once()
+        probes.append(res)
+        if res["rc"] == 0:
+            return True
+        if time.time() >= deadline:
+            return False
+        # the probe attempt itself takes up to 140 s; a short sleep keeps
+        # the cycle near the documented ~2 min probing cadence
+        time.sleep(max(5.0, 125.0 - res["t"]))
+
+
+def run_ladder(args) -> None:
+    """Wedge-proof measurement ladder (VERDICT r3 item 1).
+
+    Three stages, each leaving driver-visible evidence:
+      1. PRE-FLIGHT: tiny-matmul probes until the chip answers (up to the
+         ~25–30 min documented wedge-recovery envelope). If it never
+         answers, the emitted JSON proves "chip never ran a 256×256
+         matmul all round" — distinguishable from a perf bug.
+      2. LADDER: full-shape measurement in a child; on failure, re-probe —
+         if the chip is now dead it was a wedge, so recover and RETRY THE
+         SAME SHAPE (shape-stepping only happens when the chip is provably
+         alive, i.e. the failure was real).
+      3. Progressive status JSON lines after every stage, so even an
+         external kill leaves the latest state as the last parseable line.
+    """
+    import os
+
+    budget = float(os.environ.get("EAGLE_BENCH_BUDGET_S", "2250"))
+    t_start = time.time()
+    deadline = t_start + budget
+    probes: list = []
+    failures: list = []
+
+    def status(err: str) -> str:
+        return json.dumps({
+            "metric": "snps_scored_per_sec_per_chip", "value": 0.0,
+            "unit": "SNPs/s", "vs_baseline": None,
+            "detail": {"error": err, "probes": probes[-8:],
+                       "failed_rungs": failures,
+                       "elapsed_s": round(time.time() - t_start, 1)},
+        })
+
+    # ---- stage 1: pre-flight chip liveness ----
+    preflight_end = min(deadline, t_start + 1500.0)
+    if not _probe_until_alive(preflight_end, probes):
+        print(status("pre-flight: chip never answered a 256x256 matmul "
+                     f"within {round(preflight_end - t_start)}s "
+                     "(relay wedged all window)"))
+        raise SystemExit(1)
+    print(status("pre-flight ok; ladder starting"), flush=True)
+
+    # ---- stage 2: measurement ladder ----
+    import subprocess
+    import sys
+    rungs = [args.p, (args.p * 3) // 4, args.p // 2, args.p // 4]
+    i = 0
+    recoveries = 0
+    while i < len(rungs) and time.time() < deadline - 120:
+        p_try = rungs[i]
+        # first full-shape attempt gets the full watchdog budget (cold
+        # compile can be ~100 s on the relay); later rungs shrink
+        per_try = args.watchdog if i == 0 else min(300, args.watchdog)
+        per_try = int(min(per_try, max(120, deadline - time.time() - 60)))
+        cmd = [sys.executable, __file__, "--single",
+               "--n", str(args.n), "--p", str(p_try),
+               "--dtype", args.dtype, "--reps", str(args.reps),
+               "--watchdog", str(per_try)]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=per_try + 60)
+        except subprocess.TimeoutExpired as e:
+            failures.append({
+                "p": p_try, "error": f"timeout after {per_try + 60}s",
+                "stderr_tail": ((e.stderr or b"").decode(
+                    errors="replace")[-500:] if isinstance(
+                        e.stderr, bytes) else str(e.stderr or ""))[-500:],
+            })
+            r = None
+        if r is not None:
+            lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")]
+            if r.returncode == 0 and lines:
+                out = json.loads(lines[-1])
+                det = out.setdefault("detail", {})
+                det["probes"] = probes[-8:]
+                if failures:
+                    det["failed_rungs"] = failures
+                print(json.dumps(out))
+                return
+            failures.append({
+                "p": p_try, "returncode": r.returncode,
+                "stdout_tail": r.stdout[-300:],
+                "stderr_tail": "\n".join(
+                    ln for ln in r.stderr.splitlines()
+                    if "WARNING" not in ln)[-500:],
+            })
+        print(status(f"rung p={p_try} failed; re-probing chip"),
+              flush=True)
+        # wedge-vs-real-failure triage: if a tiny matmul now fails too,
+        # the rung died to a wedge — recover and retry the SAME shape
+        chk = _probe_once()
+        probes.append(chk)
+        if chk["rc"] != 0:
+            if recoveries >= 2 or not _probe_until_alive(
+                    min(deadline, time.time() + 1500.0), probes):
+                print(status("chip wedged after rung and never recovered"))
+                raise SystemExit(1)
+            recoveries += 1
+            continue  # chip back — same rung again
+        i += 1  # chip alive ⇒ genuine failure at this shape; step down
+
+    print(status("all bench attempts failed (chip alive at probe scale "
+                 "but every measurement rung failed)"))
+    raise SystemExit(1)
 
 
 def bench_cohort(args) -> None:

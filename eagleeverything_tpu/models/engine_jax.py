@@ -607,24 +607,30 @@ class TiledScan:
         # budget the stack at its PADDED size (Pallas grids need BLK_P/
         # NB_BLK-aligned dims — ≤2.5% overhead at 50k×1M)
         import math
-        p_pad = -(-src.p // self.tile_snps) * self.tile_snps
-        nb_est = -(-src.n // 4)
+        p_pad0 = -(-src.p // self.tile_snps) * self.tile_snps
+        nb0 = -(-src.n // 4)
+        p_pad, nb_est = p_pad0, nb0
         if self._use_pallas:
             blk = math.lcm(self.tile_snps, pallas_packed.BLK_P)
-            p_pad = -(-p_pad // blk) * blk
-            nb_est = -(-nb_est // pallas_packed.NB_BLK) \
+            p_pad = -(-p_pad0 // blk) * blk
+            nb_est = -(-nb0 // pallas_packed.NB_BLK) \
                 * pallas_packed.NB_BLK
+        # measured r3 on v5e: above ~11 GB of packed bytes the Pallas
+        # programs OOM/hang (XLA stages a layout copy of the uint8 stack:
+        # 16.15 G > 15.75 G usable at 12.8 GB) — auto-gate to the XLA
+        # in-loop unpack there unless the user forced pallas_packed=True.
+        # Gate BEFORE the cache-eligibility budget, so a store whose
+        # smaller XLA-path stack fits isn't declined on the Pallas-padded
+        # size (ADVICE r3)
+        if (config.pallas_packed is None and self._use_pallas
+                and p_pad * nb_est > 11e9):
+            self._use_pallas = False
+            p_pad, nb_est = p_pad0, nb0
         packed_bytes = p_pad * nb_est
         self.cache_packed_device = (
             not self.cache_device
             and getattr(src, "raw_packed_tiles", None) is not None
             and packed_bytes <= config.device_cache_gb * 1e9 * 0.9)
-        # measured r3 on v5e: above ~11 GB of packed bytes the Pallas
-        # programs OOM/hang (XLA stages a layout copy of the uint8 stack:
-        # 16.15 G > 15.75 G usable at 12.8 GB) — auto-gate to the XLA
-        # in-loop unpack there unless the user forced pallas_packed=True
-        if config.pallas_packed is None and packed_bytes > 11e9:
-            self._use_pallas = False
         # multi-device: place each streamed tile SNP-sharded over the mesh;
         # jit propagates the sharding through recode/MMt/score and inserts
         # the psum for the MMt contraction (GSPMD) — the streamed analog of
@@ -953,7 +959,7 @@ class TiledScan:
         Wp = self._packed_stack()
         if Wp is None:
             return None
-        chunk = int(os.environ.get("EAGLE_PACKED_CHUNK", "8"))
+        chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
         B_d = jnp.asarray(_pad_cols8(B), jnp.float32)
         b_norm2 = jnp.maximum(jnp.sum(B_d * B_d, axis=0), 1e-30)
         tol_d = jnp.float32(max(tol, 1e-6))
@@ -988,7 +994,7 @@ class TiledScan:
         if Wp is None:
             return None
         m = min(m, self.src.n)
-        chunk = int(os.environ.get("EAGLE_PACKED_CHUNK", "8"))
+        chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
         Z_d = jnp.asarray(_pad_cols8(Z), jnp.float32)
         n_, r = Z_d.shape
         z_norm = jnp.linalg.norm(Z_d, axis=0)

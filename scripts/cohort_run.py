@@ -46,17 +46,20 @@ def generate(dir: str, n: int, p: int, n_qtl: int = 8,
         t0 = time.perf_counter()
         for j0 in range(0, p, block):
             b = min(block, p - j0)
-            # per-SNP MAF in [0.05, 0.5]; HWE genotypes 0/1/2. uint8
-            # randoms + two thresholded bool views: ~8× less random bits
+            # per-SNP MAF in [0.05, 0.5]; HWE genotypes 0/1/2. uint16
+            # randoms + two thresholded bool views: ~4× less random bits
             # and no int64 temporaries vs the float64 formulation (13 min
-            # for the full 50k×1M store on this 2-core host, not 7.5 h)
+            # for the full 50k×1M store on this 2-core host, not 7.5 h).
+            # 16-bit thresholds keep quantization ≤1.5e-5 per class even
+            # at small maf (uint8 floored 256·maf² to 0 below maf=0.0625,
+            # zeroing the hom-alt class — ADVICE r3)
             maf = rng.uniform(0.05, 0.5, size=(b, 1))
             t_hom = np.broadcast_to(
-                (256.0 * maf**2).astype(np.uint8), (b, n))
+                np.rint(65536.0 * maf**2).astype(np.uint16), (b, n))
             t_het = np.broadcast_to(
-                (256.0 * (maf**2 + 2 * maf * (1 - maf))).astype(np.uint8),
-                (b, n))
-            u = rng.integers(0, 256, size=(b, n), dtype=np.uint8)
+                np.rint(65536.0 * (maf**2 + 2 * maf * (1 - maf))
+                        ).astype(np.uint16), (b, n))
+            u = rng.integers(0, 65536, size=(b, n), dtype=np.uint16)
             lt1 = np.empty((b, n), dtype=bool)
             lt2 = np.empty((b, n), dtype=bool)
             np.less(u, t_hom, out=lt1)
