@@ -131,6 +131,7 @@ def am_multi(
     fixit: bool = False,
     lam: float = 1.0,
     quiet: bool = True,
+    engine: str = "auto",
     config: EagleConfig = DEFAULT_CONFIG,
 ) -> dict[str, AMResult]:
     """Scan several traits in one pass (BASELINE config 5).
@@ -140,6 +141,12 @@ def am_multi(
     the device together. Records with a missing value in ANY trait or
     covariate are dropped for all traits (union NA rule) so the shared
     kernel stays valid. Returns {trait_name: AMResult}.
+
+    ``engine``: "auto" (eigenbasis engine; switches to "matfree" above
+    ``config.matfree_min_n`` individuals — same routing as :func:`am`),
+    "jax" (force eigenbasis), or "matfree" (force the lockstep matrix-
+    free multi-trait scan sharing one union Krylov basis across traits,
+    ``bigscan.forward_select_matfree_multi``).
     """
     from eagleeverything_tpu.api.design import build_design, na_rows
     from eagleeverything_tpu.models import engine_jax
@@ -169,12 +176,34 @@ def am_multi(
     if handle.n != n_rec:
         raise ValueError(f"{n_rec} phenotype records vs {handle.n} individuals")
 
-    results = engine_jax.forward_select_multi(
-        ys_full[:, keep], X_full[keep], handle,
-        maxit=maxit, fixit=fixit, lam_ebic=lam, quiet=quiet, config=config,
-        keep_records=keep if len(keep) != n_rec else None,
-        trait_names=list(traits),
-    )
+    if engine == "auto":
+        engine = "matfree" if handle.n > config.matfree_min_n else "jax"
+    if engine == "matfree":
+        # biobank n-scale multi-trait: shared resident stack + ONE union
+        # Krylov basis per iteration for every trait (BASELINE config 5
+        # at config-4 n; VERDICT r3 item 6)
+        import jax
+        from eagleeverything_tpu.models import bigscan
+        keep_idx = keep if len(keep) != n_rec else None
+        src = engine_jax._make_source(handle, keep_idx)
+        backend = (engine_jax.MultiHostTiledScan(src, config)
+                   if jax.process_count() > 1
+                   else engine_jax.TiledScan(src, config))
+        results = bigscan.forward_select_matfree_multi(
+            ys_full[:, keep], X_full[keep], backend,
+            maxit=maxit, fixit=fixit, lam_ebic=lam, quiet=quiet,
+            column_f64=backend.column_f64, trait_names=list(traits),
+        )
+    elif engine == "jax":
+        results = engine_jax.forward_select_multi(
+            ys_full[:, keep], X_full[keep], handle,
+            maxit=maxit, fixit=fixit, lam_ebic=lam, quiet=quiet,
+            config=config,
+            keep_records=keep if len(keep) != n_rec else None,
+            trait_names=list(traits),
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     out = {}
     for res in results:
         res.dropped_records = drop

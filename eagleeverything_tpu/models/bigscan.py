@@ -45,16 +45,23 @@ Matvec = Callable[[np.ndarray], np.ndarray]  # (n, r) -> (n, r)
 
 def blocked_cg(
     matvec_h: Matvec, B: np.ndarray, tol: float = 1e-8, maxiter: int = 400,
+    x0: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Solve H·X = B column-blocked (classic CG, per-column scalars).
 
     One ``matvec_h`` per iteration serves every RHS column; columns that
     have converged are frozen (their α/β forced to 0) so late stragglers
-    don't perturb finished solutions.
+    don't perturb finished solutions. ``x0`` warm-starts the iteration
+    (convergence is still measured against ‖B‖, so the result meets the
+    same relative tolerance as a cold solve).
     """
     B = np.asarray(B, dtype=np.float64)
-    X = np.zeros_like(B)
-    R = B.copy()
+    if x0 is not None:
+        X = np.array(x0, dtype=np.float64, copy=True)
+        R = B - matvec_h(X)
+    else:
+        X = np.zeros_like(B)
+        R = B.copy()
     P = R.copy()
     rs = np.sum(R * R, axis=0)
     b_norm2 = np.maximum(np.sum(B * B, axis=0), 1e-300)
@@ -262,6 +269,12 @@ class MatfreeContext:
     cg_tol: float = 1e-8
     cg_maxiter: int = 400
     solve_m: int = 128          # Lanczos steps for cached shifted solves
+    # refit basis depth: candidate accept-tests arrive with a delta_hint
+    # (δ̂ moves slowly across forward steps) and their final LL is an
+    # exact warm-started CG regardless — the basis only locates δ̂, where
+    # the LL is flat (dLL/dδ = 0), so half the depth costs ~nothing in
+    # decision accuracy and halves the dominant per-iteration store work
+    solve_m_refit: int = 64
     cache_max_bytes: int = 2 << 30   # per-cache basis budget (V is m·n·r f64)
     # device-resident CG: (B, delta, tol, maxiter) -> X | None
     # (engine_jax.TiledScan.device_cg partial'd with s0) — collapses the
@@ -280,15 +293,21 @@ class MatfreeContext:
     def h_matvec(self, delta: float) -> Matvec:
         return lambda V: self.kernel_matvec(V) + delta * V
 
-    def solve_block(self, delta: float, B: np.ndarray) -> np.ndarray:
+    def solve_block(self, delta: float, B: np.ndarray,
+                    x0: Optional[np.ndarray] = None) -> np.ndarray:
         """H(δ)⁻¹·B — one device dispatch when a device solver is wired,
-        else the streamed host CG."""
+        else the streamed host CG. ``x0`` (e.g. a cached Krylov solve at
+        the same δ) warm-starts either path; the result meets the same
+        relative tolerance as a cold solve."""
+        if x0 is not None and x0.shape != B.shape:
+            x0 = None
         if self.device_solve is not None:
-            X = self.device_solve(B, delta, self.cg_tol, self.cg_maxiter)
+            X = self.device_solve(B, delta, self.cg_tol, self.cg_maxiter,
+                                  x0=x0)
             if X is not None:
                 return X
         return blocked_cg(self.h_matvec(delta), B,
-                          tol=self.cg_tol, maxiter=self.cg_maxiter)
+                          tol=self.cg_tol, maxiter=self.cg_maxiter, x0=x0)
 
     def logdet(self, delta: float) -> float:
         """log|K+δI| from the scan-wide probe Lanczos (built once;
@@ -343,11 +362,13 @@ def _ll_from_solution(y, X, Sol, logdetH):
 
 def reml_loglik_matfree(
     ctx: MatfreeContext, delta: float, y: np.ndarray, X: np.ndarray,
+    x0: Optional[np.ndarray] = None,
 ) -> tuple[float, float]:
-    """(LL(δ), yᵀP̃y): exact blocked-CG solves + cached SLQ logdet."""
+    """(LL(δ), yᵀP̃y): exact blocked-CG solves + cached SLQ logdet.
+    ``x0`` warm-starts the solves (same tolerance as a cold solve)."""
     X, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     B = np.column_stack([X, y])
-    return _ll_from_solution(y, X, ctx.solve_block(delta, B),
+    return _ll_from_solution(y, X, ctx.solve_block(delta, B, x0=x0),
                              ctx.logdet(delta))
 
 
@@ -355,12 +376,31 @@ def reml_maximize_matfree(
     ctx: MatfreeContext, y: np.ndarray, X: np.ndarray,
     llim: float = -6.0, ulim: float = 8.0, ngrids: int = 24,
     delta_hint: Optional[float] = None,
-) -> reml_core.RemlResult:
+    return_sk: bool = False,
+    solver: Optional[Callable[[float], np.ndarray]] = None,
+):
     """Grid + golden-refine on the matrix-free LL. The grid is coarser
     than the exact path (each evaluation costs CG passes over the store);
     common probes make the profile smooth in δ. ``delta_hint`` (the
-    previous iteration's optimum) narrows the grid to ±2 in log-δ —
-    forward selection moves δ̂ slowly, so this cuts CG passes ~3×."""
+    previous iteration's optimum) narrows the grid to ±2 in log-δ AND
+    shrinks the Lanczos basis to ``ctx.solve_m_refit`` — forward
+    selection moves δ̂ slowly and LL is flat at its optimum, so the
+    hinted refit needs far fewer store passes for the same decision.
+    The final fit values at δ̂ always come from an exact CG solve
+    (warm-started from the basis), so reported LL/σ² are basis-depth-
+    independent to the CG tolerance.
+
+    ``return_sk=True`` additionally returns the reorthogonalized
+    ShiftedKrylov basis on [X y] (or None when it didn't fit the cache
+    budget) — the caller can reuse it to warm-start the next sweep's
+    H⁻¹[X y] solves (K is scan-invariant; only δ moves).
+
+    ``solver`` (δ → H(δ)⁻¹[X y], width rank(X)+1) replaces the internal
+    basis build entirely — the multi-trait driver passes column slices of
+    ONE union-block Krylov basis shared by every trait (the fpr4am
+    chunked-permutation pattern), so R traits cost one set of store
+    passes instead of R."""
+    m_basis = ctx.solve_m
     if delta_hint is not None and delta_hint > 0:
         c = math.log(delta_hint)
         llim = max(llim, c - 2.0)
@@ -368,13 +408,22 @@ def reml_maximize_matfree(
         if llim >= ulim:
             llim, ulim = c - 2.0, c + 2.0
         ngrids = min(ngrids, 8)
+        m_basis = min(ctx.solve_m, max(ctx.solve_m_refit, 16))
 
     # One reorthogonalized Lanczos pass on [X y] serves the WHOLE δ search
     # (shift-invariant Krylov space) — vs one full CG per grid point.
     Xi, _ = reml_core.independent_cols(np.asarray(X, np.float64))
     B = np.column_stack([Xi, y])
-    if ShiftedKrylov.cache_bytes(*B.shape, ctx.solve_m) <= ctx.cache_max_bytes:
-        sk = ShiftedKrylov(ctx.kernel_matvec, B, m=ctx.solve_m, reorth=True,
+    sk = None
+    if solver is not None:
+        probe = solver(1.0)
+        if probe is None or probe.shape != B.shape:
+            solver = None  # rank changed under the caller — rebuild below
+    if solver is not None:
+        def ll_of(d: float) -> float:
+            return _ll_from_solution(y, Xi, solver(d), ctx.logdet(d))[0]
+    elif ShiftedKrylov.cache_bytes(*B.shape, m_basis) <= ctx.cache_max_bytes:
+        sk = ShiftedKrylov(ctx.kernel_matvec, B, m=m_basis, reorth=True,
                            device_lanczos=ctx.device_lanczos)
 
         def ll_of(d: float) -> float:
@@ -396,14 +445,18 @@ def reml_maximize_matfree(
         options={"xatol": 1e-3},
     )
     delta = float(math.exp(res.x))
-    # final fit values at δ̂ use exact CG solves (decision-path accuracy)
-    ll, yPy = reml_loglik_matfree(ctx, delta, y, X)
+    # final fit values at δ̂ use exact CG solves (decision-path accuracy),
+    # warm-started from the basis solution at δ̂ when one exists
+    x0 = solver(delta) if solver is not None else (
+        sk.solve(delta) if sk else None)
+    ll, yPy = reml_loglik_matfree(ctx, delta, y, X, x0=x0)
     # nq uses the RANK of X (independent_cols-reduced), matching the
     # n−q convention of the LL itself — collinear columns don't inflate σ²
     nq = y.shape[0] - Xi.shape[1]
     s2g = yPy / nq
-    return reml_core.RemlResult(delta=delta, loglik=ll, sigma2_g=s2g,
-                                sigma2_e=delta * s2g)
+    out = reml_core.RemlResult(delta=delta, loglik=ll, sigma2_g=s2g,
+                               sigma2_e=delta * s2g)
+    return (out, sk) if return_sk else out
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +477,7 @@ def score_sweep_matfree(
     guard_sigmas: float = 4.0,
     max_escalation_rounds: int = 4,
     exclude: Optional[list[int]] = None,
+    sol0: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, int, dict]:
     """All-SNP outlier statistics without P̃ as a matrix.
 
@@ -471,7 +525,10 @@ def score_sweep_matfree(
     n, q = X.shape
 
     B = np.column_stack([X, y])
-    Sol = ctx.solve_block(fit.delta, B)
+    # sol0 (the accept-test's Krylov solve of the SAME [X y] block at the
+    # same δ̂, from forward_select_matfree) warm-starts this CG — typically
+    # a handful of polishing iterations instead of a cold solve
+    Sol = ctx.solve_block(fit.delta, B, x0=sol0)
     HiX, Hiy = Sol[:, :q], Sol[:, q]
     XtHiX = X.T @ HiX
     XtHiy = X.T @ Hiy
@@ -664,9 +721,9 @@ def make_context(backend, n: int, Z: Optional[np.ndarray] = None,
 
     device_solve = device_lanczos = None
     if Z is None and hasattr(backend, "device_cg"):
-        def device_solve(B, delta, tol, maxiter, _s0=s0):
+        def device_solve(B, delta, tol, maxiter, x0=None, _s0=s0):
             return backend.device_cg(B, delta, _s0, tol=tol,
-                                     maxiter=maxiter)
+                                     maxiter=maxiter, x0=x0)
 
         def device_lanczos(Zc, m, reorth, _s0=s0):
             return backend.device_lanczos(Zc, m, reorth, _s0)
@@ -749,7 +806,7 @@ def forward_select_matfree(
             loglik_path = [float(v) for v in state["loglik_path"][:-1]]
             logger.event("resume", markers=len(selected))
 
-    fit = reml_maximize_matfree(ctx, y, X)
+    fit, sk_model = reml_maximize_matfree(ctx, y, X, return_sk=True)
     best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
     extbic_path.append(best)
     loglik_path.append(fit.loglik)
@@ -762,10 +819,13 @@ def forward_select_matfree(
             # selected SNPs are masked INSIDE the sweep (exclude=), so the
             # returned candidate is always an exactly-rescored, unselected
             # SNP — no fallback argmax over probe estimates exists
+            # the accepted refit's Krylov basis is on exactly this [X y]
+            # block — its solve at δ̂ warm-starts the sweep's exact CG
             t, cand, esc = score_sweep_matfree(
                 ctx, backend, y, X, fit,
                 diag_probes=diag_probes, exact_topk=exact_topk,
                 column_f64=column_f64, Z=Z, exclude=selected,
+                sol0=sk_model.solve(fit.delta) if sk_model else None,
             )
         if esc["exhausted"]:
             # candidates above the Hutchinson noise bound were never
@@ -785,8 +845,9 @@ def forward_select_matfree(
         if Z is not None:
             w_col = Z @ w_col
         X_new = np.hstack([X, w_col[:, None]])
-        fit_new = reml_maximize_matfree(ctx, y, X_new,
-                                        delta_hint=fit.delta)
+        fit_new, sk_new = reml_maximize_matfree(ctx, y, X_new,
+                                                delta_hint=fit.delta,
+                                                return_sk=True)
         ebic_new = reml_core.extbic(fit_new.loglik, n, p,
                                     len(selected) + 1, lam_ebic)
         accepted = bool(ebic_new < best) or fixit
@@ -799,6 +860,7 @@ def forward_select_matfree(
         if accepted:
             selected.append(cand)
             X, fit, best = X_new, fit_new, ebic_new
+            sk_model = sk_new
             extbic_path.append(ebic_new)
             loglik_path.append(fit_new.loglik)
             # every host writes (bit-identical replicated decision state):
@@ -820,3 +882,173 @@ def forward_select_matfree(
         n=n, p=p, lam_ebic=lam_ebic,
         escalation_exhausted=escalation_exhausted or None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Lockstep multi-trait forward selection (BASELINE config 5 at biobank n)
+# ---------------------------------------------------------------------------
+
+
+class _UnionKrylov:
+    """ONE batched reorthogonalized Lanczos pass over the column-
+    concatenation of several per-trait [X y] blocks; each trait's shifted
+    solves are column slices at that trait's own δ. Batched Lanczos treats
+    columns independently (per-column tridiagonals), so the union basis is
+    mathematically identical to R separate per-trait bases — but costs one
+    set of store passes instead of R. This is the fpr4am chunked-
+    permutation pattern applied to am_multi (VERDICT r3 item 6)."""
+
+    def __init__(self, ctx: MatfreeContext, blocks: list[np.ndarray],
+                 m: int):
+        self.slices: list[slice] = []
+        c0 = 0
+        for b in blocks:
+            self.slices.append(slice(c0, c0 + b.shape[1]))
+            c0 += b.shape[1]
+        B = np.concatenate(blocks, axis=1)
+        self.sk: Optional[ShiftedKrylov] = None
+        if ShiftedKrylov.cache_bytes(*B.shape, m) <= ctx.cache_max_bytes:
+            self.sk = ShiftedKrylov(ctx.kernel_matvec, B, m=m, reorth=True,
+                                    device_lanczos=ctx.device_lanczos)
+
+    def solver(self, t: int):
+        """δ ↦ H(δ)⁻¹[X_t y_t] for trait slot ``t`` (None when the union
+        block exceeded the basis cache budget — callers fall back to CG)."""
+        if self.sk is None:
+            return None
+        sl = self.slices[t]
+        return lambda d: self.sk.solve(d)[:, sl]
+
+
+def forward_select_matfree_multi(
+    ys: np.ndarray,                # (R, n) traits
+    X0: np.ndarray,
+    backend,
+    maxit: int = 40,
+    fixit: bool = False,
+    lam_ebic: float = 1.0,
+    probes: int = 32,
+    lanczos_m: int = 40,
+    diag_probes: int = 128,
+    exact_topk: int = 64,
+    column_f64: Optional[Callable[[int], np.ndarray]] = None,
+    quiet: bool = True,
+    trait_names: Optional[list[str]] = None,
+    s0: Optional[float] = None,
+) -> list[AMResult]:
+    """The AM loop for R traits in lockstep at biobank n (matrix-free).
+
+    Shared across traits: the kernel matvec and device packed stack, the
+    SLQ logdet cache (X-independent), the Hutchinson isqrt-probe basis
+    (same probe block for every trait), and — per iteration — ONE union-
+    block Krylov basis serving every active trait's δ-profile, sweep
+    warm start, and accept-test (see :class:`_UnionKrylov`). Per-trait
+    work that cannot batch across different H(δ_t): the exact-rescore CG
+    of the shortlist and the fused stat sweep (one device pass per trait
+    over the shared resident stack).
+
+    Selection equality with per-trait :func:`forward_select_matfree` is
+    exact-by-construction up to CG tolerance: per-column Lanczos data in
+    the union basis is identical to the single-trait bases, and every
+    decision value (final LL, rescored t) is polished by exact CG.
+    Reference: repeated ``AM()`` calls (SURVEY.md §3.1 FPR4AM/AM notes);
+    BASELINE config 5.
+    """
+    ys = np.asarray(ys, dtype=np.float64)
+    X0 = np.asarray(X0, dtype=np.float64)
+    R, n = ys.shape
+    p = getattr(backend, "p_global", backend.src.p)
+    if column_f64 is None:
+        raise ValueError("forward_select_matfree_multi needs column_f64")
+
+    ctx = make_context(backend, n, probes=probes, lanczos_m=lanczos_m,
+                       s0=s0)
+    m_refit = min(ctx.solve_m, max(ctx.solve_m_refit, 16))
+
+    def reduced_block(y, X):
+        Xi, _ = reml_core.independent_cols(X)
+        return np.column_stack([Xi, y])
+
+    # per-trait state
+    X_t = [X0 for _ in range(R)]
+    selected: list[list[int]] = [[] for _ in range(R)]
+    extbic_path: list[list[float]] = [[] for _ in range(R)]
+    loglik_path: list[list[float]] = [[] for _ in range(R)]
+    outlier_stats: list[list[np.ndarray]] = [[] for _ in range(R)]
+    esc_exhausted: list[list[int]] = [[] for _ in range(R)]
+    active = list(range(R))
+
+    # initial fits: one union basis over [X0 y_t] for every trait
+    uk = _UnionKrylov(ctx, [reduced_block(ys[t], X0) for t in range(R)],
+                      ctx.solve_m)
+    fits: list = [None] * R
+    best = [math.inf] * R
+    solver_t: list = [None] * R
+    for slot, t in enumerate(range(R)):
+        solver_t[t] = uk.solver(slot)
+        fits[t] = reml_maximize_matfree(ctx, ys[t], X_t[t],
+                                        solver=solver_t[t])
+        best[t] = reml_core.extbic(fits[t].loglik, n, p, 0, lam_ebic)
+        extbic_path[t].append(best[t])
+        loglik_path[t].append(fits[t].loglik)
+
+    for it in range(maxit):
+        if not active:
+            break
+        # 1) sweeps (one fused device pass per active trait over the
+        #    SHARED resident stack; Sol warm-started from the union basis)
+        cands: dict[int, int] = {}
+        for t in active:
+            sol0 = solver_t[t](fits[t].delta) if solver_t[t] else None
+            tv, cand, esc = score_sweep_matfree(
+                ctx, backend, ys[t], X_t[t], fits[t],
+                diag_probes=diag_probes, exact_topk=exact_topk,
+                column_f64=column_f64, exclude=selected[t], sol0=sol0)
+            if esc["exhausted"]:
+                esc_exhausted[t].append(it)
+            outlier_stats[t].append(tv)
+            if tv[cand] > 0.0:
+                cands[t] = cand
+        active = [t for t in active if t in cands]
+        if not active:
+            break
+
+        # 2) one union refit basis over [X_t w_t y_t] for active traits
+        Xnew = {t: np.hstack([X_t[t], column_f64(cands[t])[:, None]])
+                for t in active}
+        uk = _UnionKrylov(
+            ctx, [reduced_block(ys[t], Xnew[t]) for t in active], m_refit)
+        still = []
+        for slot, t in enumerate(active):
+            sv = uk.solver(slot)
+            fit_new = reml_maximize_matfree(
+                ctx, ys[t], Xnew[t], delta_hint=fits[t].delta, solver=sv)
+            ebic_new = reml_core.extbic(fit_new.loglik, n, p,
+                                        len(selected[t]) + 1, lam_ebic)
+            accepted = bool(ebic_new < best[t]) or fixit
+            if not quiet:
+                print(f"[matfree-multi] it={it} trait={t} "
+                      f"cand={cands[t]} extBIC {best[t]:.4f} -> "
+                      f"{ebic_new:.4f} {'+' if accepted else 'stop'}")
+            if accepted:
+                selected[t].append(cands[t])
+                X_t[t], fits[t], best[t] = Xnew[t], fit_new, ebic_new
+                extbic_path[t].append(ebic_new)
+                loglik_path[t].append(fit_new.loglik)
+                solver_t[t] = sv     # [X_new y] block = next sweep's [X y]
+                still.append(t)
+        active = still
+
+    out = []
+    for t in range(R):
+        res = AMResult(
+            indices=selected[t], extbic_path=extbic_path[t],
+            outlier_stats=outlier_stats[t], loglik_path=loglik_path[t],
+            sigma2_g=fits[t].sigma2_g, sigma2_e=fits[t].sigma2_e,
+            delta=fits[t].delta, n=n, p=p, lam_ebic=lam_ebic,
+            escalation_exhausted=esc_exhausted[t] or None,
+        )
+        if trait_names is not None:
+            res.trait_name = trait_names[t]
+        out.append(res)
+    return out

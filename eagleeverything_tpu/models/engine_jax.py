@@ -939,7 +939,8 @@ class TiledScan:
         return self._wstack
 
     def device_cg(self, B: np.ndarray, delta: float, s0: float,
-                  tol: float = 1e-6, maxiter: int = 400
+                  tol: float = 1e-6, maxiter: int = 400,
+                  x0: Optional[np.ndarray] = None
                   ) -> Optional[np.ndarray]:
         """Solve (WᵀW/s0 + δI)·X = B with the ENTIRE CG loop in one jitted
         device program (lax.while_loop) — the matrix-free engine's Krylov
@@ -948,10 +949,22 @@ class TiledScan:
         back to the streamed host CG). f32 end-to-end, so tol is floored
         at 1e-6; the host CG's matvec is f32 too, so the achievable
         accuracy is the same (reference hot loop: SURVEY.md §3.3's
-        ``calculate_a_and_vara``-era Eigen solves, re-aimed at CG)."""
+        ``calculate_a_and_vara``-era Eigen solves, re-aimed at CG).
+        ``x0`` warm-starts the iteration (one extra matvec dispatch to
+        form the initial residual; convergence is still vs ‖B‖)."""
         r = B.shape[1]
+        if x0 is not None and x0.shape != B.shape:
+            x0 = None
         W = self._w_stack()
         if W is not None:
+            if x0 is not None:
+                # residual-form warm start: H·D = B − H·x0, X = x0 + D
+                R0 = B - (self.kernel_matvec(x0) / s0 + delta * x0)
+                D = _device_cg_jit(
+                    W, jnp.asarray(_pad_cols8(R0), jnp.float32),
+                    jnp.float32(delta), jnp.float32(s0),
+                    jnp.float32(max(tol, 1e-6)), maxiter)
+                return x0 + np.asarray(D, dtype=np.float64)[:, :r]
             X = _device_cg_jit(W, jnp.asarray(_pad_cols8(B), jnp.float32),
                                jnp.float32(delta), jnp.float32(s0),
                                jnp.float32(max(tol, 1e-6)), maxiter)
@@ -963,7 +976,17 @@ class TiledScan:
         B_d = jnp.asarray(_pad_cols8(B), jnp.float32)
         b_norm2 = jnp.maximum(jnp.sum(B_d * B_d, axis=0), 1e-30)
         tol_d = jnp.float32(max(tol, 1e-6))
-        st = (jnp.zeros_like(B_d), B_d, B_d, jnp.sum(B_d * B_d, axis=0))
+        if x0 is not None:
+            # warm init of the CG state: X = x0, R = P = B − H·x0; the
+            # convergence check keeps b_norm2 from the ORIGINAL B, so the
+            # result meets the same relative tolerance as a cold solve
+            R0 = np.asarray(_pad_cols8(
+                B - (self.kernel_matvec(x0) / s0 + delta * x0)))
+            R0_d = jnp.asarray(R0, jnp.float32)
+            st = (jnp.asarray(_pad_cols8(x0), jnp.float32), R0_d, R0_d,
+                  jnp.sum(R0_d * R0_d, axis=0))
+        else:
+            st = (jnp.zeros_like(B_d), B_d, B_d, jnp.sum(B_d * B_d, axis=0))
         done = 0
         means, pallas = self._pallas_state()
         while done < maxiter:
@@ -1205,12 +1228,24 @@ class MultiHostTiledScan(TiledScan):
             sh, np.ascontiguousarray(x, dtype=np.float32))
 
     def device_cg(self, B: np.ndarray, delta: float, s0: float,
-                  tol: float = 1e-6, maxiter: int = 400
+                  tol: float = 1e-6, maxiter: int = 400,
+                  x0: Optional[np.ndarray] = None
                   ) -> Optional[np.ndarray]:
         W = self._global_krylov_w()
         if W is None:
             return None
         r = B.shape[1]
+        if x0 is not None and x0.shape == B.shape:
+            # residual-form warm start (collective: every host passes the
+            # same replicated x0, so the extra kernel_matvec stays lockstep)
+            R0 = B - (self.kernel_matvec(x0) / s0 + delta * x0)
+            D = _device_cg_jit(
+                W, self._replicated(_pad_cols8(R0)),
+                self._replicated(np.float32(delta)),
+                self._replicated(np.float32(s0)),
+                self._replicated(np.float32(max(tol, 1e-6))), maxiter)
+            return x0 + np.asarray(D.addressable_data(0),
+                                   dtype=np.float64)[:, :r]
         X = _device_cg_jit(
             W, self._replicated(_pad_cols8(B)),
             self._replicated(np.float32(delta)),
