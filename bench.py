@@ -450,6 +450,13 @@ def bench_cohort_full(args) -> None:
             "n_individuals": n, "p_snps": p,
             "store": "2bit-packed, device-resident",
             "backend": jax.default_backend(),
+            # what is timed: matfree_stat_rows = the engine's DEFAULT
+            # per-iteration device pass (_packed_matfree_stats_jit /
+            # Pallas fused stats, (p, 3+q8) output). The wide
+            # (p, 1+q+r) sweep_dots program that hit the r3 compile
+            # wall is now column-chunked (≤40 cols/dispatch) and no
+            # longer reachable as a single giant compile.
+            "timed_program": "matfree_stat_rows (fused stats)",
             "probe_cols": 1 + q + r,
             "sweep_wallclock_s": round(secs, 3),
             "stack_upload_s": round(upload_s, 1),

@@ -1043,8 +1043,21 @@ class TiledScan:
                 # A's width is 1+q+r and q grows each iteration — pad to
                 # a multiple of 8 so the jitted program doesn't recompile
                 # per forward-selection step (zero cols are inert).
+                # Width is CAPPED at 40 columns per dispatch: the one-shot
+                # (p, 136)-output form of this program twice hit a
+                # >18-minute XLA compile wall at 50k×1M (r3), so wide
+                # blocks are column-chunked — each chunk re-reads the
+                # resident stack (HBM-bound, ~1 s at 12.5 GB), which is
+                # noise next to a multi-minute compile. The engine's
+                # default per-iteration pass is matfree_stat_rows'
+                # (p, 3+q8) fused program, NOT this one.
                 r = A.shape[1]
                 means, pallas = self._pallas_state()
+                ch = 40
+                if A.shape[1] > ch:
+                    parts = [self.sweep_dots(A[:, c0 : c0 + ch])
+                             for c0 in range(0, A.shape[1], ch)]
+                    return np.concatenate(parts, axis=1)
                 A8 = jnp.asarray(_pad_cols8(A), jnp.float32)
                 if pallas:
                     from eagleeverything_tpu.ops import pallas_packed as pp
