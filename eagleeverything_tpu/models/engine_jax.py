@@ -286,8 +286,9 @@ def _dense_kv(W: jax.Array, V: jax.Array) -> jax.Array:
 
 
 def _packed_kv(Wp: jax.Array, V: jax.Array, n: int, tile: int) -> jax.Array:
-    """Wᵀ(W·V) over a device-resident 2-BIT PACKED stack Wp (p_pad, ⌈n/4⌉
-    uint8), unpacking one tile at a time INSIDE the loop.
+    """Wᵀ(W·V) over a device-resident 2-BIT PACKED stack Wp (p_pad,
+    ⌈⌈n/4⌉/4⌉ int32 words — see _packed_stack), unpacking one tile at a
+    time INSIDE the loop.
 
     This is the biobank-n enabler on one chip: at 50k×1M the packed bytes
     (12.5 GB) fit v5e HBM while the recoded f32/bf16 stack (100–200 GB)
@@ -483,13 +484,13 @@ def _packed_rowmeans_jit(Wp: jax.Array, n: int, tile: int) -> jax.Array:
     """Per-SNP mean dose of valid codes ((p_pad, 1) f32) — the impute
     values the Pallas kernels consume; identical arithmetic to
     kernels.unpack_recode_tile's on-the-fly tile means."""
-    nb = Wp.shape[1]
+    nw = Wp.shape[1]
     n_tiles = Wp.shape[0] // tile
 
     def body(i, out):
-        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nb))
+        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nw))
         codes = jnp.stack(
-            [(raw >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
+            [(raw >> (2 * k)) & jnp.int32(3) for k in range(16)], axis=2
         ).reshape(tile, -1)[:, :n]
         miss = codes == 3
         g = codes.astype(jnp.float32)
@@ -605,28 +606,29 @@ class TiledScan:
             config.pallas_packed if config.pallas_packed is not None
             else pallas_packed.supports())
         # budget the stack at its PADDED size (Pallas grids need BLK_P/
-        # NB_BLK-aligned dims — ≤2.5% overhead at 50k×1M)
+        # NW_BLK-aligned dims — ≤2.5% overhead at 50k×1M)
         import math
         p_pad0 = -(-src.p // self.tile_snps) * self.tile_snps
-        nb0 = -(-src.n // 4)
-        p_pad, nb_est = p_pad0, nb0
+        nw0 = -(-(-(-src.n // 4)) // 4)      # int32 words per packed row
+        p_pad, nw_est = p_pad0, nw0
         if self._use_pallas:
             blk = math.lcm(self.tile_snps, pallas_packed.BLK_P)
             p_pad = -(-p_pad0 // blk) * blk
-            nb_est = -(-nb0 // pallas_packed.NB_BLK) \
-                * pallas_packed.NB_BLK
-        # measured r3 on v5e: above ~11 GB of packed bytes the Pallas
-        # programs OOM/hang (XLA stages a layout copy of the uint8 stack:
-        # 16.15 G > 15.75 G usable at 12.8 GB) — auto-gate to the XLA
-        # in-loop unpack there unless the user forced pallas_packed=True.
-        # Gate BEFORE the cache-eligibility budget, so a store whose
-        # smaller XLA-path stack fits isn't declined on the Pallas-padded
-        # size (ADVICE r3)
+            nw_est = -(-nw0 // pallas_packed.NW_BLK) \
+                * pallas_packed.NW_BLK
+        # r3's uint8-typed stack made XLA stage a full layout copy when
+        # entering pallas_call (16.15 GB transient at 12.8 GB → OOM); the
+        # int32-typed stack ((8,128)-native tiling) reads in place, so
+        # the auto-gate is now only a TOTAL-HBM guard: above ~14 GB of
+        # packed bytes the stack + Krylov workspace won't fit 15.75 GB
+        # usable v5e HBM regardless of kernel path. Gate BEFORE the
+        # cache-eligibility budget, so a store whose smaller XLA-path
+        # stack fits isn't declined on the Pallas-padded size (ADVICE r3)
         if (config.pallas_packed is None and self._use_pallas
-                and p_pad * nb_est > 11e9):
+                and p_pad * nw_est * 4 > 14e9):
             self._use_pallas = False
-            p_pad, nb_est = p_pad0, nb0
-        packed_bytes = p_pad * nb_est
+            p_pad, nw_est = p_pad0, nw0
+        packed_bytes = p_pad * nw_est * 4
         self.cache_packed_device = (
             not self.cache_device
             and getattr(src, "raw_packed_tiles", None) is not None
@@ -651,10 +653,15 @@ class TiledScan:
 
     def _packed_stack(self) -> Optional[jax.Array]:
         """The whole 2-bit packed store as ONE device-resident (p_pad,
-        ⌈n/4⌉) uint8 array, or None when ineligible. Built incrementally
-        with donated dynamic_update_slice so peak HBM is 1× the packed
-        size (a concatenate would transiently need 2×). Rows p..p_pad are
-        0x55 (four het codes → W = 0, inert)."""
+        ⌈⌈n/4⌉/4⌉) **int32** array (little-endian word view of the byte
+        stream: word w holds genotypes 16w+k at bits 2k), or None when
+        ineligible. int32 typing matters: XLA's native (8,128) tiling
+        for int32 lets pallas_call read the resident buffer in place —
+        the r3 uint8 form triggered a full staged layout copy (16.15 GB
+        transient at 50k×1M → OOM). Built incrementally with donated
+        dynamic_update_slice so peak HBM is 1× the packed size (a
+        concatenate would transiently need 2×). Rows p..p_pad are
+        0x55555555 (sixteen het codes → W = 0, inert)."""
         if self._pstack is not None:
             return self._pstack
         if not self.cache_packed_device:
@@ -664,27 +671,32 @@ class TiledScan:
         if it is None:  # store not packed / rows masked — checked at call
             self.cache_packed_device = False
             return None
-        nb = -(-self.src.n // 4)
+        nb = -(-self.src.n // 4)             # real bytes per packed row
+        nw = -(-nb // 4)                     # int32 words per stack row
         p_pad = -(-self.src.p // self.tile_snps) * self.tile_snps
         if self._use_pallas:
-            # the Pallas grid needs BLK_P/NB_BLK-aligned dims; extra pad
-            # bytes are 0x55 (inert) and pad plane positions are masked
+            # the Pallas grid needs BLK_P/NW_BLK-aligned dims; extra pad
+            # words are 0x55… (inert) and pad plane positions are masked
             # by to_plane/from_plane — ≤2.5% HBM overhead at 50k×1M
             from eagleeverything_tpu.ops import pallas_packed as pp
             import math
             p_pad = -(-p_pad // math.lcm(self.tile_snps, pp.BLK_P)) \
                 * math.lcm(self.tile_snps, pp.BLK_P)
-            nb = -(-nb // pp.NB_BLK) * pp.NB_BLK
+            nw = -(-nw // pp.NW_BLK) * pp.NW_BLK
         upd = jax.jit(
             lambda buf, t, o: jax.lax.dynamic_update_slice(buf, t, (o, 0)),
             donate_argnums=(0,))
-        buf = jnp.full((p_pad, nb), 0x55, dtype=jnp.uint8)
+        buf = jnp.full((p_pad, nw), 0x55555555, dtype=jnp.int32)
         verbose = os.environ.get("EAGLE_STACK_PROGRESS") == "1"
         import time as _time
         t0 = _time.perf_counter()
         done_rows = 0
         for j0, raw in it:  # shard-bounded tiles: contiguous, varying b
-            buf = upd(buf, jnp.asarray(np.ascontiguousarray(raw)), j0)
+            # uint8 (b, nb) tile → little-endian int32 (b, nw) words
+            # (x86 host is little-endian, so a view is the right bits)
+            wb = np.full((raw.shape[0], nw * 4), 0x55, dtype=np.uint8)
+            wb[:, : raw.shape[1]] = raw
+            buf = upd(buf, jnp.asarray(wb.view(np.int32)), j0)
             done_rows = j0 + raw.shape[0]
             if verbose and (done_rows // self.tile_snps) % 64 == 0:
                 jax.block_until_ready(buf)
@@ -1061,9 +1073,9 @@ class TiledScan:
                 A8 = jnp.asarray(_pad_cols8(A), jnp.float32)
                 if pallas:
                     from eagleeverything_tpu.ops import pallas_packed as pp
-                    nb = Wp.shape[1]
-                    A3 = pp.to_plane(A8, self.src.n, nb).reshape(
-                        4, nb, A8.shape[1])
+                    nw = Wp.shape[1]
+                    A3 = pp.to_plane(A8, self.src.n, nw).reshape(
+                        pp.PLANES, nw, A8.shape[1])
                     out = pp.packed_dot(Wp, A3, means)
                 else:
                     out = _packed_sweep_dots_jit(
@@ -1102,10 +1114,10 @@ class TiledScan:
                     # fused Pallas dot → on-device probe reduction; the
                     # (p, 1+q8+r) D block never leaves HBM
                     from eagleeverything_tpu.ops import pallas_packed as pp
-                    nb = Wp.shape[1]
+                    nw = Wp.shape[1]
                     A_d = jnp.asarray(A_pad, jnp.float32)
-                    A3 = pp.to_plane(A_d, self.src.n, nb).reshape(
-                        4, nb, A_d.shape[1])
+                    A3 = pp.to_plane(A_d, self.src.n, nw).reshape(
+                        pp.PLANES, nw, A_d.shape[1])
                     D = pp.packed_dot(Wp, A3, means)
                     out = np.asarray(_stats_from_D_jit(
                         D, jnp.asarray(M_pad, jnp.float32), q=q8),

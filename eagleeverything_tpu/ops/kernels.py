@@ -46,17 +46,29 @@ def recode_impute_tile(g_tile: jax.Array, compute_dtype: str = "float32") -> jax
 def unpack_recode_tile(
     packed: jax.Array, n: int, compute_dtype: str = "float32"
 ) -> jax.Array:
-    """2-bit packed tile (b, ceil(n/4) bytes) → recoded W tile (b, n).
+    """2-bit packed tile → recoded W tile (b, n).
+
+    Accepts BOTH packed layouts (same byte stream, two typings):
+    - uint8 (b, ⌈n/4⌉): byte b holds genotypes 4b+k at bits 2k — the
+      streamed host→device tile format;
+    - int32 (b, ⌈⌈n/4⌉/4⌉): little-endian word view, word w holds
+      genotypes 16w+k at bits 2k — the HBM-resident stack format
+      (int32's native (8,128) tiling avoids the layout copy XLA staged
+      for a big uint8 buffer entering pallas_call; see ops/pallas_packed).
 
     Unpacks the store's packed encoding (codes 0/1/2 = dose, 3 = missing)
     ON DEVICE and fuses the mean-impute/center recode — host→device
-    traffic drops 4× vs shipping int8 (and 16× vs f32). The codes sit in
-    uint8 lanes; shifts/masks are VPU ops.
+    traffic drops 4× vs shipping int8 (and 16× vs f32).
     """
     b = packed.shape[0]
-    codes = jnp.stack(
-        [(packed >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
-    ).reshape(b, -1)[:, :n]
+    if packed.dtype == jnp.int32:
+        codes = jnp.stack(
+            [(packed >> (2 * k)) & jnp.int32(3) for k in range(16)],
+            axis=2).reshape(b, -1)[:, :n]
+    else:
+        codes = jnp.stack(
+            [(packed >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
+        ).reshape(b, -1)[:, :n]
     miss = codes == 3
     g = codes.astype(jnp.float32)
     cnt = jnp.sum(~miss, axis=1)

@@ -4,19 +4,27 @@ The XLA path (`kernels.unpack_recode_tile` + `jnp.dot`) materializes each
 unpacked f32 tile (tile_p × n — ~16× the packed bytes) before the GEMM;
 when the fusion doesn't hold, every sweep pays ~32× the HBM traffic of
 the packed bytes themselves. These kernels keep the unpack IN VMEM: each
-grid step DMAs a (BLK_P, NB_BLK) block of raw bytes, shifts out the four
-2-bit planes on the VPU, mean-imputes missing codes, and feeds the MXU —
-the only HBM traffic is the packed bytes, the skinny operand, and the
-skinny result (reference hot loops: ``calculateMMt_rcpp`` /
+grid step DMAs a (BLK_P, NW_BLK) block of packed words, shifts out the
+sixteen 2-bit planes on the VPU, mean-imputes missing codes, and feeds
+the MXU — the only HBM traffic is the packed bytes, the skinny operand,
+and the skinny result (reference hot loops: ``calculateMMt_rcpp`` /
 ``calculate_a_and_vara_rcpp``, SURVEY.md §3.3).
 
-Plane layout (the trick that avoids an in-kernel deinterleave): byte b of
-a packed row holds genotypes j = 4b+k in bits 2k. Unpacking plane k as a
-contiguous block W'[:, k·nb + b] is just ``(raw >> 2k) & 3`` — no lane
+Stack dtype (the r4 fix for the r3 OOM): the packed stack is typed
+**int32** — shape (p_pad, nw), nw = ⌈⌈n/4⌉/4⌉ words, little-endian view
+of the 2-bit byte stream, so word w holds genotypes j = 16w+k at bits 2k.
+The r3 uint8-typed (p_pad, 4·nw) form made XLA stage a full layout copy
+of the buffer when feeding pallas_call (16.15 GB transient at the
+12.8 GB 50k×1M stack → OOM); int32's native (8, 128) tiling matches the
+default layout, so the kernels read the resident bytes in place.
+
+Plane layout (the trick that avoids an in-kernel deinterleave): word w of
+a packed row holds genotypes j = 16w+k in bits 2k. Unpacking plane k as a
+contiguous block W'[:, k·nw + w] is just ``(raw >> 2k) & 3`` — no lane
 shuffles — and turns the true W into W' = W·Πᵀ for a FIXED column
-permutation Π (i' = k·nb + b ↔ j = 4b + k). So W·A = W'·(Π·A): permute
+permutation Π (i' = k·nw + w ↔ j = 16w + k). So W·A = W'·(Π·A): permute
 the skinny operand's rows once per call (O(n·r), noise next to the n·p
-pass) and every result is exact, not approximate. The n..4·nb padding
+pass) and every result is exact, not approximate. The n..16·nw padding
 positions are handled by zeroing the corresponding operand rows
 (packed_dot) / output rows (packed_tdot).
 
@@ -36,7 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK_P = 512     # SNP rows per grid step
-NB_BLK = 512    # packed bytes per grid step (= 512 genotype cols/plane)
+NW_BLK = 128    # packed int32 words per grid step (= 128 genotype
+#                 cols/plane; same 512 bytes/row/step as the r3 kernels)
+PLANES = 16     # 2-bit planes per int32 word
 
 
 def _auto_interpret() -> bool:
@@ -48,36 +58,37 @@ def _auto_interpret() -> bool:
         return True
 
 
-def plane_perm(n: int, nb: int) -> np.ndarray:
+def plane_perm(n: int, nw: int) -> np.ndarray:
     """perm[i'] = original genotype column j for plane position i'
-    (i' = k·nb + b ↔ j = 4b + k); entries with j ≥ n are marked -1."""
-    k = np.arange(4 * nb) // nb
-    b = np.arange(4 * nb) % nb
-    j = 4 * b + k
+    (i' = k·nw + w ↔ j = 16w + k); entries with j ≥ n are marked -1."""
+    k = np.arange(PLANES * nw) // nw
+    w = np.arange(PLANES * nw) % nw
+    j = PLANES * w + k
     return np.where(j < n, j, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "nb"))
-def to_plane(V: jax.Array, n: int, nb: int) -> jax.Array:
-    """(n, r) → plane-space (4·nb, r); padding positions are zero."""
-    perm = jnp.asarray(plane_perm(n, nb))
+@functools.partial(jax.jit, static_argnames=("n", "nw"))
+def to_plane(V: jax.Array, n: int, nw: int) -> jax.Array:
+    """(n, r) → plane-space (16·nw, r); padding positions are zero."""
+    perm = jnp.asarray(plane_perm(n, nw))
     safe = jnp.maximum(perm, 0)
     return jnp.where((perm >= 0)[:, None], V[safe], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "nb"))
-def from_plane(T: jax.Array, n: int, nb: int) -> jax.Array:
-    """plane-space (4·nb, r) → (n, r) (inverse gather of to_plane)."""
+@functools.partial(jax.jit, static_argnames=("n", "nw"))
+def from_plane(T: jax.Array, n: int, nw: int) -> jax.Array:
+    """plane-space (16·nw, r) → (n, r) (inverse gather of to_plane)."""
     j = jnp.arange(n)
-    idx = (j % 4) * nb + j // 4
+    idx = (j % PLANES) * nw + j // PLANES
     return T[idx]
 
 
 def _plane_w(raw, mean_col, k):
     """Recoded f32 block of plane k: codes 0/1/2 → dose−1, 3 → mean−1.
-    (Mosaic supports neither uint8 shifts nor uint8→f32 casts in its i8
-    lane packing — widen to int32 BEFORE the bit ops.)"""
-    c = ((raw.astype(jnp.int32) >> (2 * k)) & 3).astype(jnp.float32)
+    ``raw`` is already int32 (arithmetic >> then &3 masks the sign bits),
+    so no widening is needed — Mosaic supports neither uint8 shifts nor
+    uint8→f32 casts, which the int32 stack sidesteps entirely."""
+    c = ((raw >> (2 * k)) & 3).astype(jnp.float32)
     return jnp.where(c == 3.0, mean_col - 1.0, c - 1.0)
 
 
@@ -91,8 +102,8 @@ def _dot_kernel(wp_ref, a_ref, mean_ref, out_ref):
     raw = wp_ref[:]
     mean_col = mean_ref[:]            # (BLK_P, 1)
     acc = out_ref[:]
-    for k in range(4):
-        w = _plane_w(raw, mean_col, k)          # (BLK_P, NB_BLK) f32
+    for k in range(PLANES):
+        w = _plane_w(raw, mean_col, k)          # (BLK_P, NW_BLK) f32
         acc = acc + jnp.dot(w, a_ref[k],
                             preferred_element_type=jnp.float32)
     out_ref[:] = acc
@@ -101,21 +112,21 @@ def _dot_kernel(wp_ref, a_ref, mean_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def packed_dot(Wp: jax.Array, A3: jax.Array, means: jax.Array,
                interpret: bool = False) -> jax.Array:
-    """(p_pad, r) = W'·A3 for plane-space operand A3 (4, nb, r).
+    """(p_pad, r) = W'·A3 for plane-space operand A3 (16, nw, r).
 
-    Wp (p_pad, nb) uint8, means (p_pad, 1) f32. p_pad % BLK_P == 0 and
-    nb % NB_BLK == 0 (the stack builder pads both)."""
-    p_pad, nb = Wp.shape
+    Wp (p_pad, nw) int32, means (p_pad, 1) f32. p_pad % BLK_P == 0 and
+    nw % NW_BLK == 0 (the stack builder pads both)."""
+    p_pad, nw = Wp.shape
     r = A3.shape[2]
     interpret = interpret or _auto_interpret()
-    grid = (p_pad // BLK_P, nb // NB_BLK)
+    grid = (p_pad // BLK_P, nw // NW_BLK)
     return pl.pallas_call(
         _dot_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLK_P, NB_BLK), lambda i, j: (i, j),
+            pl.BlockSpec((BLK_P, NW_BLK), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, NB_BLK, r), lambda i, j: (0, j, 0),
+            pl.BlockSpec((PLANES, NW_BLK, r), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK_P, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -124,8 +135,9 @@ def packed_dot(Wp: jax.Array, A3: jax.Array, means: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, r), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * 4 * nb * r,
-            bytes_accessed=p_pad * nb + p_pad * r * 4 + 4 * nb * r * 4,
+            flops=2 * p_pad * PLANES * nw * r,
+            bytes_accessed=(p_pad * nw * 4 + p_pad * r * 4
+                            + PLANES * nw * r * 4),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -143,11 +155,11 @@ def _tdot_kernel(wp_ref, t_ref, mean_ref, out_ref):
     mean_col = mean_ref[:]
     t = t_ref[:]                      # (BLK_P, r)
     planes = [
-        jax.lax.dot_general(          # (NB_BLK, r) per plane
+        jax.lax.dot_general(          # (NW_BLK, r) per plane
             _plane_w(raw, mean_col, k), t,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        for k in range(4)
+        for k in range(PLANES)
     ]
     # stack instead of .at[k].add — Mosaic has no scatter-add lowering
     out_ref[:] = out_ref[:] + jnp.stack(planes, axis=0)
@@ -156,31 +168,32 @@ def _tdot_kernel(wp_ref, t_ref, mean_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def packed_tdot(Wp: jax.Array, T: jax.Array, means: jax.Array,
                 interpret: bool = False) -> jax.Array:
-    """Plane-space (4, nb, r) = W'ᵀ·T for T (p_pad, r).
+    """Plane-space (16, nw, r) = W'ᵀ·T for T (p_pad, r).
 
-    Output rows at padding positions carry pad-byte garbage — callers
+    Output rows at padding positions carry pad-word garbage — callers
     mask them (to_plane/from_plane never read them)."""
-    p_pad, nb = Wp.shape
+    p_pad, nw = Wp.shape
     r = T.shape[1]
     interpret = interpret or _auto_interpret()
-    grid = (nb // NB_BLK, p_pad // BLK_P)
+    grid = (nw // NW_BLK, p_pad // BLK_P)
     return pl.pallas_call(
         _tdot_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLK_P, NB_BLK), lambda i, j: (j, i),
+            pl.BlockSpec((BLK_P, NW_BLK), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK_P, r), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK_P, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, NB_BLK, r), lambda i, j: (0, i, 0),
+        out_specs=pl.BlockSpec((PLANES, NW_BLK, r), lambda i, j: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, nb, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PLANES, nw, r), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * 4 * nb * r,
-            bytes_accessed=p_pad * nb + p_pad * r * 4 + 4 * nb * r * 4,
+            flops=2 * p_pad * PLANES * nw * r,
+            bytes_accessed=(p_pad * nw * 4 + p_pad * r * 4
+                            + PLANES * nw * r * 4),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -191,11 +204,11 @@ def kernel_matvec(Wp: jax.Array, V: jax.Array, means: jax.Array,
                   n: int, interpret: bool = False) -> jax.Array:
     """K·V = WᵀW·V (n, r) via one fused dot + one fused tdot — the
     packed Krylov matvec at packed-bytes HBM traffic."""
-    nb = Wp.shape[1]
-    V3 = to_plane(V, n, nb).reshape(4, nb, -1)
+    nw = Wp.shape[1]
+    V3 = to_plane(V, n, nw).reshape(PLANES, nw, -1)
     T1 = packed_dot(Wp, V3, means, interpret=interpret)
     T2 = packed_tdot(Wp, T1, means, interpret=interpret)
-    return from_plane(T2.reshape(4 * nb, -1), n, nb)
+    return from_plane(T2.reshape(PLANES * nw, -1), n, nw)
 
 
 def supports() -> bool:
