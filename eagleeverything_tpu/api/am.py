@@ -94,6 +94,13 @@ def am(
         res = bigscan.forward_select_matfree(
             prep.y, prep.X0, backend, maxit=maxit, fixit=fixit,
             lam_ebic=lam, quiet=quiet, Z=prep.Z, log_jsonl=log_jsonl,
+            probes=config.matfree_probes,
+            lanczos_m=config.matfree_lanczos_m,
+            diag_probes=config.matfree_diag_probes,
+            exact_topk=config.matfree_exact_topk,
+            solve_m=config.matfree_solve_m,
+            solve_m_refit=config.matfree_solve_m_refit,
+            cache_max_bytes=int(config.matfree_cache_gb * 1e9),
             # backend.column_f64: local read single-process; owning-host
             # broadcast in SPMD (no shared-filesystem assumption)
             column_f64=backend.column_f64,
@@ -192,6 +199,12 @@ def am_multi(
         results = bigscan.forward_select_matfree_multi(
             ys_full[:, keep], X_full[keep], backend,
             maxit=maxit, fixit=fixit, lam_ebic=lam, quiet=quiet,
+            probes=config.matfree_probes,
+            lanczos_m=config.matfree_lanczos_m,
+            diag_probes=config.matfree_diag_probes,
+            exact_topk=config.matfree_exact_topk,
+            solve_m=config.matfree_solve_m,
+            solve_m_refit=config.matfree_solve_m_refit,
             column_f64=backend.column_f64, trait_names=list(traits),
         )
     elif engine == "jax":

@@ -755,6 +755,9 @@ def forward_select_matfree(
     lanczos_m: int = 40,
     diag_probes: int = 128,
     exact_topk: int = 64,
+    solve_m: int = 128,
+    solve_m_refit: int = 64,
+    cache_max_bytes: Optional[int] = None,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     quiet: bool = True,
     log_jsonl: Optional[str] = None,
@@ -782,6 +785,10 @@ def forward_select_matfree(
 
     ctx = make_context(backend, n, Z=Z, probes=probes,
                        lanczos_m=lanczos_m, s0=s0)
+    ctx.solve_m = solve_m
+    ctx.solve_m_refit = solve_m_refit
+    if cache_max_bytes is not None:
+        ctx.cache_max_bytes = int(cache_max_bytes)
 
     selected: list[int] = []
     extbic_path: list[float] = []
@@ -931,6 +938,8 @@ def forward_select_matfree_multi(
     lanczos_m: int = 40,
     diag_probes: int = 128,
     exact_topk: int = 64,
+    solve_m: int = 128,
+    solve_m_refit: int = 64,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     quiet: bool = True,
     trait_names: Optional[list[str]] = None,
@@ -963,6 +972,8 @@ def forward_select_matfree_multi(
 
     ctx = make_context(backend, n, probes=probes, lanczos_m=lanczos_m,
                        s0=s0)
+    ctx.solve_m = solve_m
+    ctx.solve_m_refit = solve_m_refit
     m_refit = min(ctx.solve_m, max(ctx.solve_m_refit, 16))
 
     def reduced_block(y, X):

@@ -57,6 +57,19 @@ class EagleConfig:
     # stack (ops/pallas_packed): None = auto (on for TPU backends, off on
     # CPU where only interpret mode exists); True/False force it.
     pallas_packed: Optional[bool] = None
+    # --- matrix-free engine accuracy/cost knobs (bigscan) -------------
+    # Defaults match forward_select_matfree's signature; lowering them
+    # trades sweep-estimate sharpness for wall-clock (the decision path
+    # stays exact: shortlist + escalation guard rescore by exact CG).
+    # Exposed here so biobank-n runs on slow hosts (e.g. the 2-core
+    # CPU-mesh config-4 smokes) can bound the Krylov work per iteration.
+    matfree_probes: int = 32          # SLQ logdet probe columns
+    matfree_lanczos_m: int = 40       # logdet/isqrt Lanczos depth
+    matfree_diag_probes: int = 128    # Hutchinson diag probe columns
+    matfree_exact_topk: int = 64      # exact-CG rescored shortlist size
+    matfree_solve_m: int = 128        # shifted-solve Lanczos depth
+    matfree_solve_m_refit: int = 64   # …for delta-hinted accept-tests
+    matfree_cache_gb: float = 2.0     # per-basis Krylov cache budget
 
     def __post_init__(self):
         if self.compute_dtype not in ("float32", "bfloat16"):
