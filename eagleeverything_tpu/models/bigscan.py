@@ -111,10 +111,17 @@ def _lanczos(matvec_h: Matvec, Z: np.ndarray, m: int, reorth: bool = False,
             coef = np.einsum("knr,nr->kr", Vb, Wv)
             Wv = Wv - np.einsum("knr,kr->nr", Vb, coef)
         beta = np.linalg.norm(Wv, axis=0)
+        # breakdown guard (mirrors engine_jax._lanczos_chunk_steps): an
+        # invariant subspace zeroes the recurrence instead of amplifying
+        # roundoff noise — the decoupled zero block carries no quadrature
+        # or solve weight, so the built space stays exact
+        ok = beta > 1e-12 * (np.abs(alpha) + beta_prev + 1e-6)
+        beta = np.where(ok, beta, 0.0)
         if k < m - 1:
             betas[k] = beta
             V_prev = V
-            V = Wv / np.maximum(beta, 1e-300)[None, :]
+            V = np.where(ok[None, :],
+                         Wv / np.maximum(beta, 1e-300)[None, :], 0.0)
             beta_prev = beta
             if basis is not None:
                 basis[k + 1] = V
@@ -719,14 +726,29 @@ def make_context(backend, n: int, Z: Optional[np.ndarray] = None,
         def kernel_matvec(V):
             return Z @ backend.kernel_matvec(Z.T @ V) / s0
 
-    device_solve = device_lanczos = None
-    if Z is None and hasattr(backend, "device_cg"):
-        def device_solve(B, delta, tol, maxiter, x0=None, _s0=s0):
-            return backend.device_cg(B, delta, _s0, tol=tol,
-                                     maxiter=maxiter, x0=x0)
+    # Zmat designs reach the device Krylov too (VERDICT r3 item 9): the
+    # validated 0/1 one-row-one-individual incidence (api/read.read_zmat)
+    # reduces to an index vector — Zᵀ·V is a segment-sum and Z·U a gather
+    # INSIDE the jitted programs, so repeated-measures at biobank n keep
+    # the one-dispatch path instead of streamed host CG. A non-one-hot Z
+    # (weights, multiple links) falls back to the host wrap above.
+    z_idx = None
+    if Z is not None:
+        cand_idx = np.argmax(Z, axis=1)
+        if (np.all(Z[np.arange(Z.shape[0]), cand_idx] == 1.0)
+                and np.all(Z.sum(axis=1) == 1.0)
+                and np.count_nonzero(Z) == Z.shape[0]):
+            z_idx = cand_idx.astype(np.int64)
 
-        def device_lanczos(Zc, m, reorth, _s0=s0):
-            return backend.device_lanczos(Zc, m, reorth, _s0)
+    device_solve = device_lanczos = None
+    if (Z is None or z_idx is not None) and hasattr(backend, "device_cg"):
+        def device_solve(B, delta, tol, maxiter, x0=None, _s0=s0,
+                         _zi=z_idx):
+            return backend.device_cg(B, delta, _s0, tol=tol,
+                                     maxiter=maxiter, x0=x0, z_idx=_zi)
+
+        def device_lanczos(Zc, m, reorth, _s0=s0, _zi=z_idx):
+            return backend.device_lanczos(Zc, m, reorth, _s0, z_idx=_zi)
 
     rng = np.random.default_rng(seed)
     return MatfreeContext(

@@ -360,6 +360,54 @@ def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
                     B, tol, maxiter)
 
 
+@functools.partial(jax.jit, static_argnames=("maxiter", "n_ind"))
+def _device_cg_z_jit(W: jax.Array, B: jax.Array, z_idx: jax.Array,
+                     delta: jax.Array, s0: jax.Array, tol: jax.Array,
+                     maxiter: int, n_ind: int) -> jax.Array:
+    """Record-space device CG on H = Z·(WᵀW)·Zᵀ/s0 + δI — the 0/1
+    incidence Z carried as z_idx (see _packed_cg_chunk_z_jit)."""
+
+    def mv(V):
+        Vi = jax.ops.segment_sum(V, z_idx, num_segments=n_ind)
+        return _dense_kv(W, Vi)[z_idx] / s0 + delta * V
+
+    return _cg_loop(mv, B, tol, maxiter)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "reorth", "n_ind"))
+def _device_lanczos_z_jit(W: jax.Array, Z: jax.Array, z_idx: jax.Array,
+                          s0: jax.Array, m: int, reorth: bool, n_ind: int):
+    """Record-space device Lanczos on K_eff = Z·(WᵀW)·Zᵀ/s0."""
+
+    def mv(V):
+        Vi = jax.ops.segment_sum(V, z_idx, num_segments=n_ind)
+        return _dense_kv(W, Vi)[z_idx] / s0
+
+    return _lanczos_loop(mv, Z, m, reorth)
+
+
+def _cg_chunk_steps(matvec_h, X, R, P, rs, b_norm2, tol, chunk: int):
+    """``chunk`` CG iterations with a generic shifted operator —
+    identical math to _cg_loop (converged columns frozen), termination
+    check hoisted to the host (the caller reads rs between chunks)."""
+
+    def body(_, st):
+        X, R, P, rs = st
+        active = rs > tol * tol * b_norm2
+        HP = matvec_h(P)
+        pHp = jnp.sum(P * HP, axis=0)
+        alpha = jnp.where(active & (pHp > 0),
+                          rs / jnp.maximum(pHp, 1e-30), 0.0)
+        X = X + P * alpha[None, :]
+        R = R - HP * alpha[None, :]
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        P = R + P * beta[None, :]
+        return X, R, P, rs_new
+
+    return jax.lax.fori_loop(0, chunk, body, (X, R, P, rs))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n", "tile", "pallas"))
 def _packed_cg_chunk_jit(Wp: jax.Array, X: jax.Array, R: jax.Array,
@@ -374,24 +422,36 @@ def _packed_cg_chunk_jit(Wp: jax.Array, X: jax.Array, R: jax.Array,
     programs, which this sandbox's relay worker kills; chunking bounds
     each dispatch to a few seconds with the Krylov state staying device-
     resident between calls — the host only reads the (r,) residual block
-    to decide convergence. Identical math to _cg_loop (converged columns
-    frozen), just with the termination check hoisted to the host."""
+    to decide convergence."""
+    return _cg_chunk_steps(
+        lambda P_: _packed_kv_any(Wp, P_, n, tile, means, pallas) / s0
+        + delta * P_,
+        X, R, P, rs, b_norm2, tol, chunk)
 
-    def body(_, st):
-        X, R, P, rs = st
-        active = rs > tol * tol * b_norm2
-        HP = _packed_kv_any(Wp, P, n, tile, means, pallas) / s0 + delta * P
-        pHp = jnp.sum(P * HP, axis=0)
-        alpha = jnp.where(active & (pHp > 0),
-                          rs / jnp.maximum(pHp, 1e-30), 0.0)
-        X = X + P * alpha[None, :]
-        R = R - HP * alpha[None, :]
-        rs_new = jnp.sum(R * R, axis=0)
-        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
-        P = R + P * beta[None, :]
-        return X, R, P, rs_new
 
-    return jax.lax.fori_loop(0, chunk, body, (X, R, P, rs))
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "n", "tile", "pallas",
+                                    "n_ind"))
+def _packed_cg_chunk_z_jit(Wp: jax.Array, X: jax.Array, R: jax.Array,
+                           P: jax.Array, rs: jax.Array, b_norm2: jax.Array,
+                           delta: jax.Array, s0: jax.Array, tol: jax.Array,
+                           means: jax.Array, z_idx: jax.Array,
+                           chunk: int, n: int, tile: int, pallas: bool,
+                           n_ind: int):
+    """Record-space CG chunk for Zmat designs: H = Z·K·Zᵀ/s0 + δI where
+    the 0/1 incidence Z (one individual per record, api/read.read_zmat's
+    validated contract) is carried as the index vector z_idx (n_rec,) —
+    Zᵀ·V is a segment-sum and Z·U a gather, so repeated-measures designs
+    keep the one-dispatch device Krylov path instead of falling back to
+    streamed host CG (VERDICT r3 item 9; reference: the with-Z variants
+    of ``calculate_a_and_vara``/``emma.*.w.Z``, SURVEY.md §3.2/§3.3)."""
+
+    def mv(P_):
+        Vi = jax.ops.segment_sum(P_, z_idx, num_segments=n_ind)
+        KVi = _packed_kv_any(Wp, Vi, n, tile, means, pallas)
+        return KVi[z_idx] / s0 + delta * P_
+
+    return _cg_chunk_steps(mv, X, R, P, rs, b_norm2, tol, chunk)
 
 
 def _lanczos_loop(matvec_k, Z: jax.Array, m: int, reorth: bool):
@@ -419,7 +479,10 @@ def _lanczos_loop(matvec_k, Z: jax.Array, m: int, reorth: bool):
             coef = jnp.einsum("mnr,nr->mr", basis, Wv) * mask[:, None]
             Wv = Wv - jnp.einsum("mnr,mr->nr", basis, coef)
         beta = jnp.linalg.norm(Wv, axis=0)
-        Vn = Wv / jnp.maximum(beta, 1e-30)[None, :]
+        # breakdown guard — see _lanczos_chunk_steps
+        ok = beta > 1e-5 * (jnp.abs(alpha) + beta_prev + 1e-3)
+        beta = jnp.where(ok, beta, 0.0)
+        Vn = jnp.where(ok[None, :], Wv / jnp.maximum(beta, 1e-30), 0.0)
         return (basis.at[k + 1].set(Vn), alphas.at[k].set(alpha),
                 betas.at[k].set(beta))
 
@@ -435,6 +498,43 @@ def _device_lanczos_jit(W: jax.Array, Z: jax.Array, s0: jax.Array,
     return _lanczos_loop(lambda V: _dense_kv(W, V) / s0, Z, m, reorth)
 
 
+def _lanczos_chunk_steps(matvec_k, basis, alphas, betas, k0,
+                         m: int, reorth: bool, chunk: int):
+    """``chunk`` Lanczos steps [k0, k0+chunk) with a generic kernel
+    matvec; body identical to _lanczos_loop's."""
+    r = basis.shape[2]
+
+    def body(i, st):
+        basis, alphas, betas = st
+        k = k0 + i
+        V = basis[k]
+        km1 = jnp.maximum(k - 1, 0)
+        V_prev = jnp.where(k > 0, basis[km1], jnp.zeros_like(V))
+        beta_prev = jnp.where(k > 0, betas[km1],
+                              jnp.zeros((r,), jnp.float32))
+        Hv = matvec_k(V)
+        alpha = jnp.sum(V * Hv, axis=0)
+        Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
+        if reorth:
+            mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
+            coef = jnp.einsum("mnr,nr->mr", basis, Wv) * mask[:, None]
+            Wv = Wv - jnp.einsum("mnr,mr->nr", basis, coef)
+        beta = jnp.linalg.norm(Wv, axis=0)
+        # breakdown guard: a β at the f32 roundoff floor means the column
+        # hit an invariant subspace (e.g. rank-deficient Z·K·Zᵀ). Zero the
+        # new vector instead of dividing — the tridiagonal decouples there
+        # (trailing zero block has no weight in the quadrature/solve) and
+        # the already-built space is exact; dividing by ~0 cascades to
+        # inf/NaN within a few steps in f32.
+        ok = beta > 1e-5 * (jnp.abs(alpha) + beta_prev + 1e-3)
+        beta = jnp.where(ok, beta, 0.0)
+        Vn = jnp.where(ok[None, :], Wv / jnp.maximum(beta, 1e-30), 0.0)
+        return (basis.at[k + 1].set(Vn), alphas.at[k].set(alpha),
+                betas.at[k].set(beta))
+
+    return jax.lax.fori_loop(0, chunk, body, (basis, alphas, betas))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "m", "reorth", "chunk", "n", "tile", "pallas"))
 def _packed_lanczos_chunk_jit(Wp: jax.Array, basis: jax.Array,
@@ -446,30 +546,30 @@ def _packed_lanczos_chunk_jit(Wp: jax.Array, basis: jax.Array,
     """``chunk`` Lanczos steps [k0, k0+chunk) on the packed stack, one
     dispatch — same relay-bounded-dispatch rationale as
     _packed_cg_chunk_jit; the (m+1, n, r) basis stays device-resident
-    across chunks. Body is identical to _lanczos_loop's."""
-    r = basis.shape[2]
+    across chunks."""
+    return _lanczos_chunk_steps(
+        lambda V: _packed_kv_any(Wp, V, n, tile, means, pallas) / s0,
+        basis, alphas, betas, k0, m, reorth, chunk)
 
-    def body(i, st):
-        basis, alphas, betas = st
-        k = k0 + i
-        V = basis[k]
-        km1 = jnp.maximum(k - 1, 0)
-        V_prev = jnp.where(k > 0, basis[km1], jnp.zeros_like(V))
-        beta_prev = jnp.where(k > 0, betas[km1],
-                              jnp.zeros((r,), jnp.float32))
-        Hv = _packed_kv_any(Wp, V, n, tile, means, pallas) / s0
-        alpha = jnp.sum(V * Hv, axis=0)
-        Wv = Hv - V * alpha[None, :] - V_prev * beta_prev[None, :]
-        if reorth:
-            mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
-            coef = jnp.einsum("mnr,nr->mr", basis, Wv) * mask[:, None]
-            Wv = Wv - jnp.einsum("mnr,mr->nr", basis, coef)
-        beta = jnp.linalg.norm(Wv, axis=0)
-        Vn = Wv / jnp.maximum(beta, 1e-30)[None, :]
-        return (basis.at[k + 1].set(Vn), alphas.at[k].set(alpha),
-                betas.at[k].set(beta))
 
-    return jax.lax.fori_loop(0, chunk, body, (basis, alphas, betas))
+@functools.partial(jax.jit, static_argnames=(
+    "m", "reorth", "chunk", "n", "tile", "pallas", "n_ind"))
+def _packed_lanczos_chunk_z_jit(Wp: jax.Array, basis: jax.Array,
+                                alphas: jax.Array, betas: jax.Array,
+                                k0: jax.Array, s0: jax.Array,
+                                means: jax.Array, z_idx: jax.Array,
+                                m: int, reorth: bool, chunk: int,
+                                n: int, tile: int, pallas: bool,
+                                n_ind: int):
+    """Record-space Lanczos chunk on K_eff = Z·K·Zᵀ/s0 (see
+    _packed_cg_chunk_z_jit for the z_idx incidence representation)."""
+
+    def mv(V):
+        Vi = jax.ops.segment_sum(V, z_idx, num_segments=n_ind)
+        return _packed_kv_any(Wp, Vi, n, tile, means, pallas)[z_idx] / s0
+
+    return _lanczos_chunk_steps(mv, basis, alphas, betas, k0,
+                                m, reorth, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tile"))
@@ -950,9 +1050,20 @@ class TiledScan:
             self._wstack, self._wstack_meta = stack, meta
         return self._wstack
 
+    def _h_apply_host(self, X: np.ndarray, delta: float, s0: float,
+                      z_idx: Optional[np.ndarray]) -> np.ndarray:
+        """H·X on the host for warm-start residuals — record space when a
+        Zmat index is given (H = Z·K·Zᵀ/s0 + δI), else individual space."""
+        if z_idx is None:
+            return self.kernel_matvec(X) / s0 + delta * X
+        Vi = np.zeros((self.src.n, X.shape[1]))
+        np.add.at(Vi, z_idx, X)
+        return self.kernel_matvec(Vi)[z_idx] / s0 + delta * X
+
     def device_cg(self, B: np.ndarray, delta: float, s0: float,
                   tol: float = 1e-6, maxiter: int = 400,
-                  x0: Optional[np.ndarray] = None
+                  x0: Optional[np.ndarray] = None,
+                  z_idx: Optional[np.ndarray] = None
                   ) -> Optional[np.ndarray]:
         """Solve (WᵀW/s0 + δI)·X = B with the ENTIRE CG loop in one jitted
         device program (lax.while_loop) — the matrix-free engine's Krylov
@@ -963,24 +1074,32 @@ class TiledScan:
         accuracy is the same (reference hot loop: SURVEY.md §3.3's
         ``calculate_a_and_vara``-era Eigen solves, re-aimed at CG).
         ``x0`` warm-starts the iteration (one extra matvec dispatch to
-        form the initial residual; convergence is still vs ‖B‖)."""
+        form the initial residual; convergence is still vs ‖B‖).
+        ``z_idx`` (record → individual index of a 0/1 incidence Zmat)
+        switches the operator to record space H = Z·K·Zᵀ/s0 + δI — the
+        repeated-measures designs keep the device Krylov path."""
         r = B.shape[1]
         if x0 is not None and x0.shape != B.shape:
             x0 = None
+        zi = (jnp.asarray(z_idx, jnp.int32) if z_idx is not None else None)
         W = self._w_stack()
         if W is not None:
             if x0 is not None:
                 # residual-form warm start: H·D = B − H·x0, X = x0 + D
-                R0 = B - (self.kernel_matvec(x0) / s0 + delta * x0)
+                R0 = B - self._h_apply_host(x0, delta, s0, z_idx)
+            else:
+                R0, x0 = B, np.zeros_like(B)
+            if zi is not None:
+                D = _device_cg_z_jit(
+                    W, jnp.asarray(_pad_cols8(R0), jnp.float32), zi,
+                    jnp.float32(delta), jnp.float32(s0),
+                    jnp.float32(max(tol, 1e-6)), maxiter, self.src.n)
+            else:
                 D = _device_cg_jit(
                     W, jnp.asarray(_pad_cols8(R0), jnp.float32),
                     jnp.float32(delta), jnp.float32(s0),
                     jnp.float32(max(tol, 1e-6)), maxiter)
-                return x0 + np.asarray(D, dtype=np.float64)[:, :r]
-            X = _device_cg_jit(W, jnp.asarray(_pad_cols8(B), jnp.float32),
-                               jnp.float32(delta), jnp.float32(s0),
-                               jnp.float32(max(tol, 1e-6)), maxiter)
-            return np.asarray(X, dtype=np.float64)[:, :r]
+            return x0 + np.asarray(D, dtype=np.float64)[:, :r]
         Wp = self._packed_stack()
         if Wp is None:
             return None
@@ -993,7 +1112,7 @@ class TiledScan:
             # convergence check keeps b_norm2 from the ORIGINAL B, so the
             # result meets the same relative tolerance as a cold solve
             R0 = np.asarray(_pad_cols8(
-                B - (self.kernel_matvec(x0) / s0 + delta * x0)))
+                B - self._h_apply_host(x0, delta, s0, z_idx)))
             R0_d = jnp.asarray(R0, jnp.float32)
             st = (jnp.asarray(_pad_cols8(x0), jnp.float32), R0_d, R0_d,
                   jnp.sum(R0_d * R0_d, axis=0))
@@ -1002,10 +1121,17 @@ class TiledScan:
         done = 0
         means, pallas = self._pallas_state()
         while done < maxiter:
-            st = _packed_cg_chunk_jit(
-                Wp, *st, b_norm2, jnp.float32(delta), jnp.float32(s0),
-                tol_d, means, chunk=min(chunk, maxiter - done),
-                n=self.src.n, tile=self.tile_snps, pallas=pallas)
+            if zi is not None:
+                st = _packed_cg_chunk_z_jit(
+                    Wp, *st, b_norm2, jnp.float32(delta), jnp.float32(s0),
+                    tol_d, means, zi, chunk=min(chunk, maxiter - done),
+                    n=self.src.n, tile=self.tile_snps, pallas=pallas,
+                    n_ind=self.src.n)
+            else:
+                st = _packed_cg_chunk_jit(
+                    Wp, *st, b_norm2, jnp.float32(delta), jnp.float32(s0),
+                    tol_d, means, chunk=min(chunk, maxiter - done),
+                    n=self.src.n, tile=self.tile_snps, pallas=pallas)
             done += chunk
             rs = np.asarray(st[3])  # (r,) — the only host read per chunk
             if not np.any(rs > max(tol, 1e-6) ** 2 * np.asarray(b_norm2)):
@@ -1013,22 +1139,32 @@ class TiledScan:
         return np.asarray(st[0], dtype=np.float64)[:, :r]
 
     def device_lanczos(self, Z: np.ndarray, m: int, reorth: bool,
-                       s0: float):
+                       s0: float, z_idx: Optional[np.ndarray] = None):
         """One-dispatch batched Lanczos on K = WᵀW/s0 (device-resident
         basis). Returns (alphas, betas, z_norm — host f64; basis — device
         (m,n,r) f32) or None when tiles aren't HBM-cached. Columns are
-        zero-padded to a multiple of 8 (inert) to bound recompiles."""
+        zero-padded to a multiple of 8 (inert) to bound recompiles.
+        ``z_idx`` switches to the record-space kernel Z·K·Zᵀ/s0 (Zmat
+        designs; see device_cg)."""
+        n_rows = Z.shape[0]
+        zi = (jnp.asarray(z_idx, jnp.int32) if z_idx is not None else None)
         W = self._w_stack()
         if W is not None:
-            a, b, zn, basis = _device_lanczos_jit(
-                W, jnp.asarray(_pad_cols8(Z), jnp.float32), jnp.float32(s0),
-                min(m, self.src.n), bool(reorth))
+            if zi is not None:
+                a, b, zn, basis = _device_lanczos_z_jit(
+                    W, jnp.asarray(_pad_cols8(Z), jnp.float32), zi,
+                    jnp.float32(s0), min(m, n_rows), bool(reorth),
+                    self.src.n)
+            else:
+                a, b, zn, basis = _device_lanczos_jit(
+                    W, jnp.asarray(_pad_cols8(Z), jnp.float32),
+                    jnp.float32(s0), min(m, n_rows), bool(reorth))
             return (np.asarray(a, np.float64), np.asarray(b, np.float64),
                     np.asarray(zn, np.float64), basis)
         Wp = self._packed_stack()
         if Wp is None:
             return None
-        m = min(m, self.src.n)
+        m = min(m, n_rows)
         chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
         Z_d = jnp.asarray(_pad_cols8(Z), jnp.float32)
         n_, r = Z_d.shape
@@ -1039,10 +1175,18 @@ class TiledScan:
         betas = jnp.zeros((m, r), jnp.float32)
         means, pallas = self._pallas_state()
         for k0 in range(0, m, chunk):
-            basis, alphas, betas = _packed_lanczos_chunk_jit(
-                Wp, basis, alphas, betas, jnp.int32(k0), jnp.float32(s0),
-                means, m=m, reorth=bool(reorth), chunk=min(chunk, m - k0),
-                n=self.src.n, tile=self.tile_snps, pallas=pallas)
+            if zi is not None:
+                basis, alphas, betas = _packed_lanczos_chunk_z_jit(
+                    Wp, basis, alphas, betas, jnp.int32(k0),
+                    jnp.float32(s0), means, zi, m=m, reorth=bool(reorth),
+                    chunk=min(chunk, m - k0), n=self.src.n,
+                    tile=self.tile_snps, pallas=pallas, n_ind=self.src.n)
+            else:
+                basis, alphas, betas = _packed_lanczos_chunk_jit(
+                    Wp, basis, alphas, betas, jnp.int32(k0),
+                    jnp.float32(s0), means, m=m, reorth=bool(reorth),
+                    chunk=min(chunk, m - k0), n=self.src.n,
+                    tile=self.tile_snps, pallas=pallas)
         return (np.asarray(alphas, np.float64),
                 np.asarray(betas, np.float64)[: m - 1],
                 np.asarray(z_norm, np.float64), basis[:m])
@@ -1254,7 +1398,8 @@ class MultiHostTiledScan(TiledScan):
 
     def device_cg(self, B: np.ndarray, delta: float, s0: float,
                   tol: float = 1e-6, maxiter: int = 400,
-                  x0: Optional[np.ndarray] = None
+                  x0: Optional[np.ndarray] = None,
+                  z_idx: Optional[np.ndarray] = None
                   ) -> Optional[np.ndarray]:
         W = self._global_krylov_w()
         if W is None:
@@ -1263,31 +1408,42 @@ class MultiHostTiledScan(TiledScan):
         if x0 is not None and x0.shape == B.shape:
             # residual-form warm start (collective: every host passes the
             # same replicated x0, so the extra kernel_matvec stays lockstep)
-            R0 = B - (self.kernel_matvec(x0) / s0 + delta * x0)
+            R0 = B - self._h_apply_host(x0, delta, s0, z_idx)
+        else:
+            R0, x0 = B, np.zeros_like(B)
+        if z_idx is not None:
+            D = _device_cg_z_jit(
+                W, self._replicated(_pad_cols8(R0)),
+                self._replicated(np.asarray(z_idx, np.int32)),
+                self._replicated(np.float32(delta)),
+                self._replicated(np.float32(s0)),
+                self._replicated(np.float32(max(tol, 1e-6))), maxiter,
+                self.src.n)
+        else:
             D = _device_cg_jit(
                 W, self._replicated(_pad_cols8(R0)),
                 self._replicated(np.float32(delta)),
                 self._replicated(np.float32(s0)),
                 self._replicated(np.float32(max(tol, 1e-6))), maxiter)
-            return x0 + np.asarray(D.addressable_data(0),
-                                   dtype=np.float64)[:, :r]
-        X = _device_cg_jit(
-            W, self._replicated(_pad_cols8(B)),
-            self._replicated(np.float32(delta)),
-            self._replicated(np.float32(s0)),
-            self._replicated(np.float32(max(tol, 1e-6))), maxiter)
-        return np.asarray(X.addressable_data(0),
-                          dtype=np.float64)[:, :r]
+        return x0 + np.asarray(D.addressable_data(0),
+                               dtype=np.float64)[:, :r]
 
     def device_lanczos(self, Z: np.ndarray, m: int, reorth: bool,
-                       s0: float):
+                       s0: float, z_idx: Optional[np.ndarray] = None):
         W = self._global_krylov_w()
         if W is None:
             return None
-        a, b, zn, basis = _device_lanczos_jit(
-            W, self._replicated(_pad_cols8(Z)),
-            self._replicated(np.float32(s0)),
-            min(m, self.src.n), bool(reorth))
+        if z_idx is not None:
+            a, b, zn, basis = _device_lanczos_z_jit(
+                W, self._replicated(_pad_cols8(Z)),
+                self._replicated(np.asarray(z_idx, np.int32)),
+                self._replicated(np.float32(s0)),
+                min(m, Z.shape[0]), bool(reorth), self.src.n)
+        else:
+            a, b, zn, basis = _device_lanczos_jit(
+                W, self._replicated(_pad_cols8(Z)),
+                self._replicated(np.float32(s0)),
+                min(m, self.src.n), bool(reorth))
         # the basis is replicated (no p axis); hand ShiftedKrylov a LOCAL
         # single-device view so its einsum epilogue needs no global mesh
         return (np.asarray(a.addressable_data(0), np.float64),

@@ -200,65 +200,96 @@ def run_point(nproc: int, n: int, p_local: int, reps: int, tmp: str) -> dict:
         return json.load(f)
 
 
+PHASES = (("sweep_eig", "sweep_gather_s"),
+          ("matvec", "matvec_collective_s"),
+          ("mmt", "mmt_collective_s"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", default="1,2,4,8")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--p-local", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=5,
+                    help="independent repeats of EVERY point; efficiencies "
+                         "are paired per round and the MEDIAN across "
+                         "rounds is reported with its min..max spread "
+                         "(r3's single-pair numbers moved by ±0.1-0.4 "
+                         "between same-day runs — VERDICT r3 item 4)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.quick:
         args.n, args.p_local, args.reps = 128, 2048, 3
         args.procs = "1,2"
+        args.rounds = 2
     procs = [int(x) for x in args.procs.split(",")]
     ncores = os.cpu_count() or 1
 
-    results = {}
+    # rounds outer, procs inner: each round yields one PAIRED set of
+    # points measured back-to-back, so per-round efficiency ratios see
+    # the same machine state and the across-round median absorbs drift
+    rounds: list[dict] = []
     with tempfile.TemporaryDirectory(prefix="eagle_ws_") as tmp:
-        for nproc in procs:
-            print(f"[weakscale] N={nproc} "
-                  f"(p_global={nproc * args.p_local}) ...", flush=True)
-            results[nproc] = run_point(nproc, args.n, args.p_local,
-                                       args.reps, tmp)
+        for rd in range(args.rounds):
+            results = {}
+            for nproc in procs:
+                print(f"[weakscale] round {rd + 1}/{args.rounds} "
+                      f"N={nproc} (p_global={nproc * args.p_local}) ...",
+                      flush=True)
+                results[nproc] = run_point(nproc, args.n, args.p_local,
+                                           args.reps, tmp)
+            rounds.append(results)
 
-    base = results[procs[0]]
+    import numpy as np
     report = {"n": args.n, "p_local": args.p_local, "ncores": ncores,
-              "points": {}, "note": (
+              "rounds": args.rounds, "points": {}, "note": (
         "localhost CPU collectives (gRPC) overstate latency vs TPU ICI; "
         "rows with N > ncores additionally timeshare the compute — "
-        "collective_fraction bounds the true communication cost")}
-    hdr = (f"{'N':>3} {'phase':<12} {'t(1) s':>9} {'t(N) s':>9} "
-           f"{'eff':>6} {'coll s':>8} {'coll%':>6} {'oversub':>8}")
+        "collective_fraction bounds the true communication cost. "
+        "HEADLINE: the structurally sound claim is the collective "
+        "fraction (tpu_efficiency_lower_bound = 1 - collective_fraction "
+        "at equal shapes, since TPU ICI moves the same payload with ~µs "
+        "latency at >100 GB/s); the measured CPU efficiencies support "
+        "it but carry this host's scheduler noise, quoted as min..max "
+        "across the paired rounds.")}
+    hdr = (f"{'N':>3} {'phase':<10} {'t(N) med s':>11} {'eff med':>8} "
+           f"{'eff range':>13} {'coll% med':>10} {'oversub':>8}")
     print("\n" + hdr)
     print("-" * len(hdr))
     for nproc in procs:
-        r = results[nproc]
         pt = {}
-        for phase, coll_key in (("sweep_eig", "sweep_gather_s"),
-                                ("matvec", "matvec_collective_s"),
-                                ("mmt", "mmt_collective_s")):
+        for phase, coll_key in PHASES:
             key = f"{phase}_s"
-            t1, tn = base[key], r[key]
-            eff = t1 / tn if tn > 0 else float("nan")
-            coll = r.get(coll_key, 0.0)
-            frac = coll / tn if tn > 0 else 0.0
+            tns = np.array([r[nproc][key] for r in rounds], float)
+            effs = np.array([r[procs[0]][key] / r[nproc][key]
+                             for r in rounds if r[nproc][key] > 0])
+            fracs = np.array([r[nproc].get(coll_key, 0.0) / r[nproc][key]
+                              for r in rounds if r[nproc][key] > 0])
             over = "yes" if nproc > ncores else "no"
-            print(f"{nproc:>3} {phase:<12} {t1:>9.4f} {tn:>9.4f} "
-                  f"{eff:>6.2f} {coll:>8.4f} {100 * frac:>5.1f}% "
-                  f"{over:>8}")
-            pt[phase] = {"t_s": tn, "efficiency": round(eff, 4),
-                         "collective_s": coll,
-                         "collective_fraction": round(frac, 4),
-                         "oversubscribed": nproc > ncores}
-        pt["cg_host_s"] = r.get("cg_host_s")
-        pt["cg_device_s"] = r.get("cg_device_s")
-        if r.get("cg_device_s"):
-            print(f"{nproc:>3} {'cg (full solve)':<12} host "
-                  f"{r['cg_host_s']:.4f}s vs collective-device "
-                  f"{r['cg_device_s']:.4f}s "
-                  f"({r['cg_host_s'] / r['cg_device_s']:.2f}x)")
+            print(f"{nproc:>3} {phase:<10} {np.median(tns):>11.4f} "
+                  f"{np.median(effs):>8.2f} "
+                  f"{effs.min():>6.2f}..{effs.max():<5.2f} "
+                  f"{100 * np.median(fracs):>9.1f}% {over:>8}")
+            pt[phase] = {
+                "t_s_median": float(np.median(tns)),
+                "t_s_range": [float(tns.min()), float(tns.max())],
+                "efficiency_median": round(float(np.median(effs)), 4),
+                "efficiency_range": [round(float(effs.min()), 4),
+                                     round(float(effs.max()), 4)],
+                "collective_fraction_median": round(
+                    float(np.median(fracs)), 4),
+                "tpu_efficiency_lower_bound": round(
+                    1.0 - float(np.median(fracs)), 4),
+                "oversubscribed": nproc > ncores,
+            }
+        cgh = [r[nproc].get("cg_host_s") for r in rounds]
+        cgd = [r[nproc].get("cg_device_s") for r in rounds]
+        pt["cg_host_s_median"] = (float(np.median([x for x in cgh if x]))
+                                  if any(cgh) else None)
+        pt["cg_device_s_median"] = (float(np.median([x for x in cgd if x]))
+                                    if any(cgd) else None)
         report["points"][nproc] = pt
 
     if args.out:

@@ -237,3 +237,55 @@ def test_matfree_scan_on_packed_stack_matches_dense(packed_store):
     assert res_p.indices == res_d.indices
     np.testing.assert_allclose(res_p.extbic_path, res_d.extbic_path,
                                rtol=1e-3)
+
+
+def test_zmat_device_krylov(packed_store):
+    """Zmat designs keep the device Krylov path (VERDICT r3 item 9): the
+    one-hot incidence is carried as an index vector into the jitted CG/
+    Lanczos programs (record-space H = Z·K·Zᵀ/s0 + δI), matching the
+    streamed host form on both the packed-stack and dense-stack
+    backends."""
+    from eagleeverything_tpu.models import bigscan
+
+    d, sim = packed_store
+    rng = np.random.default_rng(5)
+    n_rec = N + 20                      # repeated measures: n_rec > n_ind
+    z_idx = np.concatenate([np.arange(N),
+                            rng.integers(0, N, size=n_rec - N)])
+    Z = np.zeros((n_rec, N))
+    Z[np.arange(n_rec), z_idx] = 1.0
+    sc_p, sc_s = _scans(d)
+    s0 = 120.0
+    B = rng.standard_normal((n_rec, 3))
+
+    def host_mv(V):
+        return Z @ sc_s.kernel_matvec(Z.T @ V) / s0 + 0.3 * V
+
+    X_host = bigscan.blocked_cg(host_mv, B, tol=1e-7)
+    for sc in (sc_p, sc_s):
+        X_dev = sc.device_cg(B, 0.3, s0, tol=1e-7, z_idx=z_idx)
+        assert X_dev is not None, "device path did not engage with Zmat"
+        np.testing.assert_allclose(X_dev, X_host, rtol=2e-4, atol=2e-5)
+        # warm start: exact same solution from a perturbed guess
+        X_warm = sc.device_cg(B, 0.3, s0, tol=1e-7, z_idx=z_idx,
+                              x0=X_host + 0.01)
+        np.testing.assert_allclose(X_warm, X_host, rtol=2e-4, atol=2e-5)
+
+    # Lanczos: record-space tridiagonal matches the host recurrence
+    Zc = rng.standard_normal((n_rec, 2))
+    dev = sc_p.device_lanczos(Zc, 10, True, s0, z_idx=z_idx)
+    assert dev is not None
+    a_d, b_d, zn_d, _ = dev
+    a_h, b_h, zn_h, _ = bigscan._lanczos(
+        lambda V: Z @ (sc_s.kernel_matvec(Z.T @ V)) / s0, Zc, 10,
+        reorth=True)
+    np.testing.assert_allclose(a_d[:, :2], a_h, rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(zn_d[:2], zn_h, rtol=1e-6)
+
+    # the matfree context wires the hooks for one-hot Z
+    ctx = bigscan.make_context(sc_p, n_rec, Z=Z)
+    assert ctx.device_solve is not None
+    Sol = ctx.solve_block(0.3, B / s0 * s0)
+    np.testing.assert_allclose(
+        Sol, bigscan.blocked_cg(ctx.h_matvec(0.3), B, tol=1e-8),
+        rtol=5e-3, atol=5e-4)
