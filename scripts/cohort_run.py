@@ -97,8 +97,163 @@ def generate(dir: str, n: int, p: int, n_qtl: int = 8,
           f"{meta['store_bytes'] / 1e9:.2f} GB", flush=True)
 
 
+def _cohort_cfg(pallas: str, host_eigh_max_n: int = 32768):
+    """Engine config for the 50k×1M scan. ``pallas``: 'on'/'off' force
+    the fused kernels; 'auto' lets the engine's 14 GB total-HBM gate
+    decide (the int32-typed stack removed the r3 uint8 layout-copy OOM —
+    measure with --pallas-bench before committing a long scan)."""
+    from eagleeverything_tpu.utils.config import EagleConfig
+    flag = {"on": True, "off": False, "auto": None}[pallas]
+    # device_cache_gb=14.5 admits the DEVICE-RESIDENT PACKED STACK at
+    # 50k×1M (12.5 GB of 2-bit bytes in 16 GB v5e HBM; engine_jax
+    # _packed_stack): every Krylov matvec / probe sweep is then an
+    # HBM-bandwidth pass with in-loop unpack instead of re-streaming the
+    # store host→device. snp_tile=1024 bounds the unpacked f32 transient
+    # to ~200 MB per loop step.
+    return EagleConfig(host_eigh_max_n=host_eigh_max_n,
+                       device_cache_gb=14.5, snp_tile=1024,
+                       pallas_packed=flag)
+
+
+def pallas_bench(dir: str) -> None:
+    """Measure the fused Pallas kernels vs the XLA in-loop unpack at the
+    TRUE 50k×1M stack (VERDICT r3 item 3): kernel_matvec (the Krylov
+    unit) and matfree_stat_rows (the per-iteration sweep) both ways,
+    with equivalence checks. Writes docs/pallas_cohort_bench.json."""
+    from eagleeverything_tpu.models import engine_jax
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
+
+    with open(os.path.join(dir, "meta.json")) as f:
+        meta = json.load(f)
+    n = meta["n"]
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((n, 8)).astype(np.float64)
+    A = rng.standard_normal((n, 10))
+    Minv = np.ones((1, 1))
+    out = {"n": n, "p": meta["p"]}
+    for mode, flag in (("xla", "off"), ("pallas", "on")):
+        src = engine_jax.StoreTileSource(os.path.join(dir, "store"))
+        scan = engine_jax.TiledScan(src, _cohort_cfg(flag))
+        t0 = time.perf_counter()
+        assert scan._packed_stack() is not None, "stack ineligible"
+        up = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kv = scan.kernel_matvec(V)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kv = scan.kernel_matvec(V)
+            ts.append(time.perf_counter() - t0)
+        st0 = time.perf_counter()
+        rows = scan.matfree_stat_rows(A, 1, Minv)
+        stats_compile_s = time.perf_counter() - st0
+        st = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = scan.matfree_stat_rows(A, 1, Minv)
+            st.append(time.perf_counter() - t0)
+        out[mode] = {
+            "stack_upload_s": round(up, 1),
+            "matvec_s_median": round(float(np.median(ts)), 3),
+            "matvec_first_s": round(compile_s, 1),
+            "stats_s_median": round(float(np.median(st)), 3),
+            "stats_first_s": round(stats_compile_s, 1),
+            "kv_checksum": float(np.sum(kv)),
+            "stats_checksum": float(np.sum(rows[0])),
+        }
+        del scan, src
+        print(f"[pallas-bench] {mode}: {out[mode]}", flush=True)
+    x, p_ = out["xla"], out["pallas"]
+    out["matvec_speedup"] = round(x["matvec_s_median"]
+                                  / p_["matvec_s_median"], 3)
+    out["stats_speedup"] = round(x["stats_s_median"]
+                                 / p_["stats_s_median"], 3)
+    out["kv_rel_err"] = abs(x["kv_checksum"] - p_["kv_checksum"]) / (
+        abs(x["kv_checksum"]) + 1e-30)
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "pallas_cohort_bench.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+def rescore_truth(dir: str) -> None:
+    """Power cross-check (VERDICT r3 item 7): under the scan's FINAL
+    model, exact-rescore every planted truth SNP — outlier t and the
+    extBIC delta its addition would give — turning 'the stop was
+    correct on this trait's power' from assertion into evidence.
+    Writes docs/cohort_power_check.json."""
+    from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.models import bigscan, engine_jax, reml_core
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+    enable_compilation_cache()
+
+    with open(os.path.join(dir, "meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(dir, "result.json")) as f:
+        result = json.load(f)
+    y = np.load(os.path.join(dir, "y.npy"))
+    n, p = meta["n"], meta["p"]
+    handle = GenoHandle(n=n, p=p, source="cohort",
+                        store_dir=os.path.join(dir, "store"))
+    src = engine_jax._make_source(handle, None)
+    backend = engine_jax.TiledScan(src, _cohort_cfg("off"))
+    ctx = bigscan.make_context(backend, n)
+    col = backend.column_f64
+
+    selected = [int(j) for j in result["selected"]]
+    X = np.ones((n, 1))
+    for j in selected:
+        X = np.hstack([X, col(j)[:, None]])
+    fit, sk = bigscan.reml_maximize_matfree(ctx, y, X, return_sk=True)
+    ebic_base = reml_core.extbic(fit.loglik, n, p, len(selected), 1.0)
+
+    B = np.column_stack([X, y])
+    Sol = ctx.solve_block(fit.delta, B,
+                          x0=sk.solve(fit.delta) if sk else None)
+    q = X.shape[1]
+    HiX, Hiy = Sol[:, :q], Sol[:, q]
+    XtHiX = X.T @ HiX
+    Py = Hiy - HiX @ np.linalg.solve(XtHiX, X.T @ Hiy)
+    XtHiX_inv = np.linalg.inv(XtHiX)
+
+    truth = [int(j) for j in meta["qtl_indices"]]
+    rows = []
+    for j in truth:
+        w = col(j)
+        Hiw = ctx.solve_block(fit.delta, w[:, None])[:, 0]
+        ahat = float(w @ Py)
+        u = HiX.T @ w
+        vara = fit.sigma2_g * max(
+            float(w @ Hiw) - float(u @ XtHiX_inv @ u), 1e-12)
+        t_j = ahat * ahat / vara if vara > 1e-12 else 0.0
+        row = {"snp": j, "selected": j in selected, "t": round(t_j, 3)}
+        if j not in selected:
+            fit_j = bigscan.reml_maximize_matfree(
+                ctx, y, np.hstack([X, w[:, None]]), delta_hint=fit.delta)
+            ebic_j = reml_core.extbic(fit_j.loglik, n, p,
+                                      len(selected) + 1, 1.0)
+            row["extbic_delta_if_added"] = round(ebic_j - ebic_base, 3)
+        rows.append(row)
+        print(f"[power-check] {row}", flush=True)
+
+    out = {"config": result.get("config"), "n": n, "p": p,
+           "selected": selected, "extbic_base": round(ebic_base, 3),
+           "delta": fit.delta, "truth_snps": rows,
+           "note": "extbic_delta_if_added > 0 means adding that truth "
+                   "SNP would WORSEN extBIC — the scan's stop was the "
+                   "criterion-correct decision for this trait's power"}
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "cohort_power_check.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
 def run(dir: str, maxit: int, engine: str,
-        host_eigh_max_n: int = 32768) -> None:
+        host_eigh_max_n: int = 32768, pallas: str = "off") -> None:
     from eagleeverything_tpu.api.am import am
     from eagleeverything_tpu.api.read import GenoHandle
     from eagleeverything_tpu.utils.config import EagleConfig
@@ -111,22 +266,7 @@ def run(dir: str, maxit: int, engine: str,
     handle = GenoHandle(n=meta["n"], p=meta["p"], source="cohort",
                         store_dir=os.path.join(dir, "store"))
     log = os.path.join(dir, "scan_log.jsonl")
-    # device_cache_gb=14.5 admits the DEVICE-RESIDENT PACKED STACK at
-    # 50k×1M (12.5 GB of 2-bit bytes in 16 GB v5e HBM; engine_jax
-    # _packed_stack): every Krylov matvec / probe sweep is then an
-    # HBM-bandwidth pass with in-loop unpack instead of re-streaming the
-    # store host→device. snp_tile=1024 bounds the unpacked f32 transient
-    # to ~200 MB per loop step. host_eigh_max_n only matters for the
-    # (infeasible-at-this-n) eigenbasis engine — see engine note in main().
-    # pallas_packed=False at THIS shape: the fused kernels' Krylov
-    # programs exceed HBM at a 12.8 GB stack (XLA inserts a layout copy
-    # of part of the packed buffer: 16.15 G > 15.75 G usable, measured
-    # r3) — the XLA in-loop unpack path compiles and runs; the Pallas
-    # kernels stay auto-on below ~11 GB stacks (bench --config
-    # cohort-full measures both).
-    cfg = EagleConfig(host_eigh_max_n=host_eigh_max_n,
-                      device_cache_gb=14.5, snp_tile=1024,
-                      pallas_packed=False)
+    cfg = _cohort_cfg(pallas, host_eigh_max_n)
     ckpt = os.path.join(dir, "ckpt")
     t0 = time.perf_counter()
     res = am("y", handle, {"y": y}, maxit=maxit, engine=engine,
@@ -160,11 +300,25 @@ def main() -> None:
     # O(n·p·r) per iteration over the HBM-resident packed stack. "auto"
     # routes here too (n > matfree_min_n = 32768).
     ap.add_argument("--engine", default="matfree")
+    ap.add_argument("--pallas", default="off",
+                    choices=["auto", "on", "off"],
+                    help="fused unpack-GEMM kernels for the resident "
+                         "stack (measure with --pallas-bench first)")
+    ap.add_argument("--pallas-bench", action="store_true",
+                    help="measure Pallas vs XLA matvec/stats at the "
+                         "true stack size, then exit")
+    ap.add_argument("--rescore-truth", action="store_true",
+                    help="power cross-check: exact t + extBIC delta of "
+                         "every planted truth SNP under the final model")
     args = ap.parse_args()
     if args.gen or not os.path.exists(os.path.join(args.dir, "meta.json")):
         generate(args.dir, args.n, args.p)
+    if args.pallas_bench:
+        return pallas_bench(args.dir)
     if args.run:
-        run(args.dir, args.maxit, args.engine)
+        run(args.dir, args.maxit, args.engine, pallas=args.pallas)
+    if args.rescore_truth:
+        rescore_truth(args.dir)
 
 
 if __name__ == "__main__":
