@@ -1119,7 +1119,16 @@ class TiledScan:
         else:
             st = (jnp.zeros_like(B_d), B_d, B_d, jnp.sum(B_d * B_d, axis=0))
         done = 0
-        means, pallas = self._pallas_state()
+        # Pallas stays OUT of the loop-carried chunk programs: inside a
+        # fori_loop the custom call's forced operand layouts propagate
+        # into the carried state and XLA inserts padded layout copies
+        # (measured at 50k×1M: r-minor basis 16×-padded to 2.88 GB +
+        # the (p,1) means 128×-padded to 0.48 GB → 16.15 G > 15.75 G).
+        # The XLA unpack chunks are relay-dispatch-bound anyway; the
+        # Pallas 7.7× win is taken by the ONE-DISPATCH callers
+        # (kernel_matvec, matfree_stat_rows, sweep_dots, and the host
+        # Lanczos loop — see device_lanczos).
+        means, pallas = jnp.zeros((1, 1), jnp.float32), False
         while done < maxiter:
             if zi is not None:
                 st = _packed_cg_chunk_z_jit(
@@ -1163,6 +1172,15 @@ class TiledScan:
                     np.asarray(zn, np.float64), basis)
         Wp = self._packed_stack()
         if Wp is None:
+            return None
+        if self._use_pallas and self._pmeans is not None:
+            # With the fused kernels available, the HOST Lanczos loop
+            # (bigscan._lanczos fallback: one pallas kernel_matvec
+            # dispatch per step + f64 reorthogonalization) beats the
+            # chunked XLA-unpack device loop ~8× per pass AND avoids the
+            # pallas-in-fori_loop layout-copy OOM (see device_cg) — so
+            # decline here and let ShiftedKrylov take the host path,
+            # whose matvec lands back on the one-dispatch Pallas kernel.
             return None
         m = min(m, n_rows)
         chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
