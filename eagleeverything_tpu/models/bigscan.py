@@ -823,10 +823,17 @@ def forward_select_matfree(
         state = ckpt.load_scan_state(ckpt_dir)
         if state is not None:
             meta = state.get("meta", {})
+            # content fingerprint: shape equality alone accepted a STALE
+            # checkpoint once (same n/p/lambda, regenerated trait+store)
+            # and silently resumed the wrong scan — match the trait's
+            # moments too, and refuse fingerprint-less (older) states
+            fp = (round(float(np.sum(y)), 6), round(float(y @ y), 6))
             if (meta.get("trait_n"), meta.get("p"),
-                    meta.get("lam_ebic")) != (n, p, lam_ebic):
+                    meta.get("lam_ebic")) != (n, p, lam_ebic) \
+                    or (meta.get("trait_sum"), meta.get("trait_sq")) != fp:
                 raise ValueError("refusing to resume: matfree checkpoint "
-                                 "was written for different inputs")
+                                 "was written for different inputs "
+                                 "(shape or trait fingerprint mismatch)")
             selected = [int(j) for j in state["selected"]]
             for j in selected:
                 col = column_f64(j)
@@ -899,7 +906,9 @@ def forward_select_matfree(
                 ckpt.save_scan_state(
                     ckpt_dir, selected, extbic_path, loglik_path,
                     fit.delta, fit.sigma2_g, fit.sigma2_e,
-                    meta={"trait_n": n, "p": p, "lam_ebic": lam_ebic})
+                    meta={"trait_n": n, "p": p, "lam_ebic": lam_ebic,
+                          "trait_sum": round(float(np.sum(y)), 6),
+                          "trait_sq": round(float(y @ y), 6)})
         else:
             break
 
