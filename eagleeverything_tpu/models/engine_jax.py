@@ -589,8 +589,12 @@ def _packed_rowmeans_jit(Wp: jax.Array, n: int, tile: int) -> jax.Array:
 
     def body(i, out):
         raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nw))
+        # bitcast → 4-shift uint8 unpack (see kernels.unpack_recode_tile
+        # for why the 16-way int32 form is avoided)
+        raw8 = jax.lax.bitcast_convert_type(
+            raw, jnp.uint8).reshape(tile, -1)
         codes = jnp.stack(
-            [(raw >> (2 * k)) & jnp.int32(3) for k in range(16)], axis=2
+            [(raw8 >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
         ).reshape(tile, -1)[:, :n]
         miss = codes == 3
         g = codes.astype(jnp.float32)

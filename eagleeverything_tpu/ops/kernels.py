@@ -62,13 +62,17 @@ def unpack_recode_tile(
     """
     b = packed.shape[0]
     if packed.dtype == jnp.int32:
-        codes = jnp.stack(
-            [(packed >> (2 * k)) & jnp.int32(3) for k in range(16)],
-            axis=2).reshape(b, -1)[:, :n]
-    else:
-        codes = jnp.stack(
-            [(packed >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
-        ).reshape(b, -1)[:, :n]
+        # bitcast back to the byte stream and use the SAME 4-shift
+        # unpack as the streamed path: a 16-way int32 shift/stack made
+        # XLA's layout assignment prefer a transposed stack layout and
+        # insert an 11.9 GB whole-stack copy inside the Krylov chunk
+        # programs at 50k×1M (r4 OOM #2); the bitcast form keeps the
+        # r3-proven uint8 program shape over the int32-resident buffer
+        packed = jax.lax.bitcast_convert_type(
+            packed, jnp.uint8).reshape(b, -1)
+    codes = jnp.stack(
+        [(packed >> s) & jnp.uint8(3) for s in (0, 2, 4, 6)], axis=2
+    ).reshape(b, -1)[:, :n]
     miss = codes == 3
     g = codes.astype(jnp.float32)
     cnt = jnp.sum(~miss, axis=1)
