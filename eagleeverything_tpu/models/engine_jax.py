@@ -1107,6 +1107,16 @@ class TiledScan:
         Wp = self._packed_stack()
         if Wp is None:
             return None
+        if jax.default_backend() == "tpu":
+            # The loop-carried chunk programs are RETIRED on TPU for the
+            # int32 stack: XLA's layout assignment prefers a transposed
+            # stack inside fori_loop bodies and inserts an 11.9 GB
+            # whole-stack copy (OOM at 50k×1M; measured r4 — the
+            # one-dispatch programs compile copy-free). Decline here:
+            # the caller's host CG runs one kernel_matvec DISPATCH per
+            # iteration (Pallas fused when on — 0.445 s/pass at 50k×1M,
+            # 7.7× the XLA unpack), which is the faster form anyway.
+            return None
         chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
         B_d = jnp.asarray(_pad_cols8(B), jnp.float32)
         b_norm2 = jnp.maximum(jnp.sum(B_d * B_d, axis=0), 1e-30)
@@ -1177,14 +1187,13 @@ class TiledScan:
         Wp = self._packed_stack()
         if Wp is None:
             return None
-        if self._use_pallas and self._pmeans is not None:
-            # With the fused kernels available, the HOST Lanczos loop
-            # (bigscan._lanczos fallback: one pallas kernel_matvec
-            # dispatch per step + f64 reorthogonalization) beats the
-            # chunked XLA-unpack device loop ~8× per pass AND avoids the
-            # pallas-in-fori_loop layout-copy OOM (see device_cg) — so
-            # decline here and let ShiftedKrylov take the host path,
-            # whose matvec lands back on the one-dispatch Pallas kernel.
+        if jax.default_backend() == "tpu":
+            # Retired on TPU like the CG chunk path (see device_cg): the
+            # fori_loop form transpose-copies the 11.9 GB int32 stack.
+            # ShiftedKrylov's host Lanczos fallback runs one
+            # kernel_matvec dispatch per step (Pallas fused when on) +
+            # f64 reorthogonalization — measured faster per pass than
+            # the chunked XLA loop ever was.
             return None
         m = min(m, n_rows)
         chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
