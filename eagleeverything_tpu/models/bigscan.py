@@ -780,6 +780,8 @@ def forward_select_matfree(
     solve_m: int = 128,
     solve_m_refit: int = 64,
     cache_max_bytes: Optional[int] = None,
+    cg_tol: float = 1e-8,
+    cg_maxiter: int = 400,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     quiet: bool = True,
     log_jsonl: Optional[str] = None,
@@ -809,6 +811,8 @@ def forward_select_matfree(
                        lanczos_m=lanczos_m, s0=s0)
     ctx.solve_m = solve_m
     ctx.solve_m_refit = solve_m_refit
+    ctx.cg_tol = cg_tol
+    ctx.cg_maxiter = cg_maxiter
     if cache_max_bytes is not None:
         ctx.cache_max_bytes = int(cache_max_bytes)
 
