@@ -138,10 +138,15 @@ cfg = EagleConfig(device_cache_gb=8.0)
 backend = engine_jax.MultiHostTiledScan(src, cfg)
 X0 = np.ones((n, 1))
 t0 = time.time()
+# Krylov depths sized to this 2-core host: every matvec at n=500k is
+# ~1.3e11 flops × (r/8) through the CPU unpack, so probe widths and
+# basis depths are the wall-clock. The DECISION path stays exact: the
+# shortlist + escalation guard rescore by exact CG at cg_tol.
 res = bigscan.forward_select_matfree(
     y, X0, backend, maxit=int(os.environ.get("EAGLE_MAXIT", "3")),
-    probes=16, lanczos_m=24, diag_probes=64, exact_topk=8,
-    solve_m=48, solve_m_refit=32, cache_max_bytes=8 << 30,
+    probes=8, lanczos_m=12, diag_probes=16, exact_topk=2,
+    solve_m=24, solve_m_refit=16, cache_max_bytes=8 << 30,
+    cg_tol=1e-6, cg_maxiter=100,
     column_f64=backend.column_f64, quiet=(pid != 0),
     log_jsonl=(os.path.join(base, "scan_n.jsonl") if pid == 0 else None))
 wall = time.time() - t0
@@ -152,8 +157,9 @@ if pid == 0:
            "escalation_exhausted": res.escalation_exhausted,
            "wall_seconds": round(wall, 1),
            "protocol": "2-process physically split store, CPU mesh, "
-                       "collective matfree (probes=16 lanczos_m=24 "
-                       "diag_probes=64 topk=8 solve_m=48/32)"}
+                       "collective matfree (probes=8 lanczos_m=12 "
+                       "diag_probes=16 topk=2 solve_m=24/16 "
+                       "cg_tol=1e-6)"}
     with open(os.environ["EAGLE_OUT"], "w") as f:
         json.dump(out, f, indent=1)
 print("proc", pid, "done in", round(wall, 1), "s", flush=True)
