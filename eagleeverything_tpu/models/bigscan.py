@@ -175,6 +175,13 @@ class ShiftedKrylov:
             w, Q = np.linalg.eigh(T)
             self.w[:, j] = w
             self.Q[j] = Q
+        # the kernel is PSD by construction (K = W·Wᵀ/s0, or Z·K·Zᵀ);
+        # negative Ritz values are pure f32 Lanczos noise, and 1/(w+δ)
+        # at small δ turns them into huge negative solve components that
+        # corrupt the REML profile's small-δ end (measured at 50k×1M:
+        # the resumed 5-column fit's LL became monotone-decreasing from
+        # the grid edge and the downstream near-singular solve NaN'd)
+        self.w = np.maximum(self.w, 0.0)
         self.Q0 = self.Q[:, 0, :].T                       # (m, r): first rows
 
     @staticmethod
@@ -441,6 +448,7 @@ def reml_maximize_matfree(
 
     grid = np.exp(np.linspace(llim, ulim, ngrids + 1))
     lls = np.array([ll_of(d) for d in grid])
+    lls = np.where(np.isfinite(lls), lls, -np.inf)  # NaN never wins argmax
     i = int(np.argmax(lls))
     lo = grid[max(i - 1, 0)]
     hi = grid[min(i + 1, ngrids)]
@@ -822,6 +830,7 @@ def forward_select_matfree(
     outlier_stats: list[np.ndarray] = []
 
     X = X0
+    resume_delta = None
     if resume and ckpt_dir is not None:
         from eagleeverything_tpu.utils import checkpoint as ckpt
         state = ckpt.load_scan_state(ckpt_dir)
@@ -844,9 +853,14 @@ def forward_select_matfree(
                 X = np.hstack([X, (Z @ col if Z is not None else col)[:, None]])
             extbic_path = [float(v) for v in state["extbic_path"][:-1]]
             loglik_path = [float(v) for v in state["loglik_path"][:-1]]
+            resume_delta = state.get("delta")
             logger.event("resume", markers=len(selected))
 
-    fit, sk_model = reml_maximize_matfree(ctx, y, X, return_sk=True)
+    # a resumed scan re-enters the δ-search at the checkpointed optimum
+    # (δ̂ moves slowly; an unhinted full grid at a multi-marker X proved
+    # fragile at 50k×1M — see the PSD clamp note in ShiftedKrylov)
+    fit, sk_model = reml_maximize_matfree(ctx, y, X, return_sk=True,
+                                          delta_hint=resume_delta)
     best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
     extbic_path.append(best)
     loglik_path.append(fit.loglik)
