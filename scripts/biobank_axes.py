@@ -247,7 +247,8 @@ def run_p(dir: str) -> None:
         handle = read_marker(os.path.join(dir, "geno_p.txt"), type="text",
                              AA="0", AB="1", BB="2", missing="9",
                              store_dir=store, n_shards=4, packed=True,
-                             availmemGb=16.0)
+                             availmemGb=16.0,
+                             ncpu=int(os.environ.get("EAGLE_NCPU", "0")))
         ingest_s = time.perf_counter() - t0
     else:
         from eagleeverything_tpu.api.read import GenoHandle

@@ -207,7 +207,21 @@ def rescore_truth(dir: str) -> None:
     X = np.ones((n, 1))
     for j in selected:
         X = np.hstack([X, col(j)[:, None]])
-    fit, sk = bigscan.reml_maximize_matfree(ctx, y, X, return_sk=True)
+    # re-enter the delta-search at the scan's checkpointed optimum: the
+    # unhinted profile at a multi-marker X can edge-peak at tiny delta
+    # (SLQ smears near-zero spectrum mass into a spurious boundary
+    # divergence); the hinted fit keeps the base extBIC on the scan's
+    # own delta scale
+    hint = None
+    try:
+        from eagleeverything_tpu.utils import checkpoint as ckptmod
+        st = ckptmod.load_scan_state(os.path.join(dir, "ckpt"))
+        if st is not None:
+            hint = float(st.get("delta"))
+    except Exception:
+        pass
+    fit, sk = bigscan.reml_maximize_matfree(ctx, y, X, return_sk=True,
+                                            delta_hint=hint)
     ebic_base = reml_core.extbic(fit.loglik, n, p, len(selected), 1.0)
 
     B = np.column_stack([X, y])
