@@ -102,6 +102,13 @@ def main() -> None:
     if args.quick:
         args.n, args.p, args.reps = 256, 8192, 2
         args.traits = 4
+    if args.config == "cohort-full" and args.watchdog == 480:
+        # the 12.8 GB stack upload alone takes 220-560 s through the
+        # relay; give the full-scale config a compile+upload-sized budget
+        args.watchdog = 1500
+        import faulthandler as _fh
+        _fh.cancel_dump_traceback_later()
+        _fh.dump_traceback_later(args.watchdog, exit=True)
     if args.config == "cohort":
         return bench_cohort(args)
     if args.config == "cohort-full":
