@@ -68,6 +68,11 @@ def main() -> None:
     # wedge must be distinguishable from a real perf bug.
     if args.config == "sweep" and not args.single and not args.quick:
         return run_ladder(args)
+    if args.config == "cohort-full" and args.watchdog == 480:
+        # the 12.8 GB stack upload alone takes 220-560 s through the
+        # relay; give the full-scale config a compile+upload-sized budget
+        # (must happen BEFORE the watchdog threads are armed)
+        args.watchdog = 1500
     if args.watchdog > 0:
         # BOTH mechanisms: a wedged PJRT client blocks holding the GIL, so
         # a Python Timer thread cannot run — faulthandler's C-level
@@ -102,13 +107,6 @@ def main() -> None:
     if args.quick:
         args.n, args.p, args.reps = 256, 8192, 2
         args.traits = 4
-    if args.config == "cohort-full" and args.watchdog == 480:
-        # the 12.8 GB stack upload alone takes 220-560 s through the
-        # relay; give the full-scale config a compile+upload-sized budget
-        args.watchdog = 1500
-        import faulthandler as _fh
-        _fh.cancel_dump_traceback_later()
-        _fh.dump_traceback_later(args.watchdog, exit=True)
     if args.config == "cohort":
         return bench_cohort(args)
     if args.config == "cohort-full":
