@@ -104,3 +104,21 @@ def test_am_multi_auto_routes_to_matfree(multi, monkeypatch):
     cfg = EagleConfig(matfree_min_n=64)   # n=130 > 64 → matfree
     ee.am_multi(["y1"], geno=sim1.geno, pheno=pheno, maxit=2, config=cfg)
     assert called.get("yes")
+
+
+def test_am_multi_matfree_no_signal_trait(multi):
+    """A pure-noise trait in the lockstep matfree scan selects nothing
+    and never perturbs its co-scanned signal trait (traits go inactive
+    independently; the union Krylov basis shrinks with them)."""
+    sim1, _, pheno = multi
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(130)
+    cols = {"y1": np.asarray(pheno["y1"]), "noise": noise}
+    res = ee.am_multi(["y1", "noise"], geno=sim1.geno, pheno=cols,
+                      maxit=4, engine="matfree")
+    s_y = ee.am(trait="y1", geno=sim1.geno, pheno=cols, maxit=4,
+                engine="matfree")
+    s_n = ee.am(trait="noise", geno=sim1.geno, pheno=cols, maxit=4,
+                engine="matfree")
+    assert res["y1"].indices == s_y.indices
+    assert res["noise"].indices == s_n.indices
