@@ -265,7 +265,9 @@ def run_p(dir: str) -> None:
     fit = bigscan.reml_maximize_matfree(ctx, y, X0)
     t1 = time.perf_counter()
     t, cand, info = bigscan.score_sweep_matfree(
-        ctx, backend, y, X0, fit, diag_probes=32, exact_topk=8,
+        ctx, backend, y, X0, fit,
+        diag_probes=int(os.environ.get("EAGLE_DIAG_PROBES", "32")),
+        exact_topk=int(os.environ.get("EAGLE_TOPK", "8")),
         column_f64=backend.column_f64)
     sweep_s = time.perf_counter() - t1
 
