@@ -831,6 +831,7 @@ def forward_select_matfree(
 
     X = X0
     resume_delta = None
+    resume_fit = None
     if resume and ckpt_dir is not None:
         from eagleeverything_tpu.utils import checkpoint as ckpt
         state = ckpt.load_scan_state(ckpt_dir)
@@ -851,19 +852,36 @@ def forward_select_matfree(
             for j in selected:
                 col = column_f64(j)
                 X = np.hstack([X, (Z @ col if Z is not None else col)[:, None]])
-            extbic_path = [float(v) for v in state["extbic_path"][:-1]]
-            loglik_path = [float(v) for v in state["loglik_path"][:-1]]
             resume_delta = state.get("delta")
-            logger.event("resume", markers=len(selected))
+            if meta.get("fit_exact"):
+                # the checkpoint carries the exact CG-polished fit at this
+                # X (it was the loop's own accepted fit) — at biobank n the
+                # re-fit it replaces is tens of minutes of store passes
+                resume_fit = reml_core.RemlResult(
+                    delta=float(state["delta"]),
+                    loglik=float(state["loglik_path"][-1]),
+                    sigma2_g=float(state["sigma2_g"]),
+                    sigma2_e=float(state["sigma2_e"]))
+                extbic_path = [float(v) for v in state["extbic_path"]]
+                loglik_path = [float(v) for v in state["loglik_path"]]
+            else:
+                extbic_path = [float(v) for v in state["extbic_path"][:-1]]
+                loglik_path = [float(v) for v in state["loglik_path"][:-1]]
+            logger.event("resume", markers=len(selected),
+                         fit_exact=bool(meta.get("fit_exact")))
 
-    # a resumed scan re-enters the δ-search at the checkpointed optimum
-    # (δ̂ moves slowly; an unhinted full grid at a multi-marker X proved
-    # fragile at 50k×1M — see the PSD clamp note in ShiftedKrylov)
-    fit, sk_model = reml_maximize_matfree(ctx, y, X, return_sk=True,
-                                          delta_hint=resume_delta)
-    best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
-    extbic_path.append(best)
-    loglik_path.append(fit.loglik)
+    if resume_fit is not None:
+        fit, sk_model = resume_fit, None  # sweep CG runs cold this once
+        best = extbic_path[-1]
+    else:
+        # a resumed scan re-enters the δ-search at the checkpointed optimum
+        # (δ̂ moves slowly; an unhinted full grid at a multi-marker X proved
+        # fragile at 50k×1M — see the PSD clamp note in ShiftedKrylov)
+        fit, sk_model = reml_maximize_matfree(ctx, y, X, return_sk=True,
+                                              delta_hint=resume_delta)
+        best = reml_core.extbic(fit.loglik, n, p, len(selected), lam_ebic)
+        extbic_path.append(best)
+        loglik_path.append(fit.loglik)
     if not quiet:
         print(f"[matfree] start: extBIC={best:.4f} delta={fit.delta:.4g}")
 
@@ -926,7 +944,8 @@ def forward_select_matfree(
                     fit.delta, fit.sigma2_g, fit.sigma2_e,
                     meta={"trait_n": n, "p": p, "lam_ebic": lam_ebic,
                           "trait_sum": round(float(np.sum(y)), 6),
-                          "trait_sq": round(float(y @ y), 6)})
+                          "trait_sq": round(float(y @ y), 6),
+                          "fit_exact": True})
         else:
             break
 

@@ -142,20 +142,35 @@ t0 = time.time()
 # ~1.3e11 flops × (r/8) through the CPU unpack, so probe widths and
 # basis depths are the wall-clock. The DECISION path stays exact: the
 # shortlist + escalation guard rescore by exact CG at cg_tol.
+# checkpoint dir OUTSIDE /tmp (which is wiped between sessions): the scan
+# state is kilobytes and the store regen is deterministic from its seed,
+# so a killed multi-hour run resumes from the last accepted marker
+ckpt_dir = os.environ.get("EAGLE_CKPT", "/root/eagle_nscan_ckpt")
+_sp = os.path.join(ckpt_dir, "scan_state.json")
+ck0 = json.load(open(_sp)) if os.path.exists(_sp) else {}
 res = bigscan.forward_select_matfree(
     y, X0, backend, maxit=int(os.environ.get("EAGLE_MAXIT", "3")),
     probes=8, lanczos_m=12, diag_probes=16, exact_topk=2,
     solve_m=24, solve_m_refit=16, cache_max_bytes=8 << 30,
     cg_tol=1e-6, cg_maxiter=100,
     column_f64=backend.column_f64, quiet=(pid != 0),
+    ckpt_dir=ckpt_dir, resume=True,
     log_jsonl=(os.path.join(base, "scan_n.jsonl") if pid == 0 else None))
 wall = time.time() - t0
 if pid == 0:
     out = {"axis": "n", "n": n, "p": p,
            "selected": res.indices, "extbic_path": res.extbic_path,
            "qtl_planted": meta["qtl_indices"],
+           "selected_all_planted": all(j in meta["qtl_indices"]
+                                       for j in res.indices),
            "escalation_exhausted": res.escalation_exhausted,
            "wall_seconds": round(wall, 1),
+           "ckpt_dir": ckpt_dir,
+           "resumed_from": ({"selected": ck0.get("selected"),
+                             "provenance": ck0.get("meta", {})
+                             .get("seeded_from", "scan_state.json written "
+                                  "by a prior run of this script")}
+                            if ck0 else None),
            "protocol": "2-process physically split store, CPU mesh, "
                        "collective matfree (probes=8 lanczos_m=12 "
                        "diag_probes=16 topk=2 solve_m=24/16 "

@@ -202,6 +202,23 @@ def test_matfree_checkpoint_resume(tmp_path):
                                              resume=True, **kw)
     assert resumed.indices == fresh.indices
 
+    # legacy/seeded states (no fit_exact in meta — e.g. reconstructed from
+    # scan logs, scripts/preseed_nscan_ckpt.py) take the refit-on-resume
+    # path and must reach the same selection
+    import json as _json
+    import os as _os
+    sp = _os.path.join(d, "scan_state.json")
+    with open(sp) as f:
+        st = _json.load(f)
+    st["meta"].pop("fit_exact", None)
+    st["sigma2_g"] = st["sigma2_e"] = 0.0  # seeded states lack the fit
+    with open(sp, "w") as f:
+        _json.dump(st, f)
+    reseeded = bigscan.forward_select_matfree(sim.y, X0, make_backend(),
+                                              maxit=4, ckpt_dir=d,
+                                              resume=True, **kw)
+    assert reseeded.indices == fresh.indices
+
 
 def test_fpr4am_matfree_matches_eig():
     """FPR calibration via the matrix-free engine tracks the eigenbasis
