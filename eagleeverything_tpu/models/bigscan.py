@@ -323,6 +323,30 @@ class MatfreeContext:
         return blocked_cg(self.h_matvec(delta), B,
                           tol=self.cg_tol, maxiter=self.cg_maxiter, x0=x0)
 
+    def solve_block_shifts(self, shifts: np.ndarray, B: np.ndarray,
+                           x0: Optional[np.ndarray] = None) -> np.ndarray:
+        """H(δ_col)⁻¹·B with a PER-COLUMN shift δ (one per RHS column).
+
+        The multi-shift batched solve behind the lockstep multi-trait /
+        permutation paths: trait operators H_t = K/s0 + δ_t·I differ only
+        in the diagonal, so one kernel matvec per CG iteration (ONE store
+        pass) serves every trait's columns — the serial form paid one CG
+        loop (R× the store passes) per trait. Identical math per column
+        to solve_block (blocked CG freezes converged columns), so every
+        decision value stays exact to cg_tol (VERDICT r4 item 2)."""
+        shifts = np.asarray(shifts, dtype=np.float64)
+        assert shifts.shape == (B.shape[1],)
+        if x0 is not None and x0.shape != B.shape:
+            x0 = None
+        if self.device_solve is not None:
+            X = self.device_solve(B, shifts, self.cg_tol, self.cg_maxiter,
+                                  x0=x0)
+            if X is not None:
+                return X
+        return blocked_cg(
+            lambda V: self.kernel_matvec(V) + V * shifts[None, :],
+            B, tol=self.cg_tol, maxiter=self.cg_maxiter, x0=x0)
+
     def logdet(self, delta: float) -> float:
         """log|K+δI| from the scan-wide probe Lanczos (built once;
         quadrature needs only the tridiagonal — no basis is retained, so
@@ -493,6 +517,7 @@ def score_sweep_matfree(
     max_escalation_rounds: int = 4,
     exclude: Optional[list[int]] = None,
     sol0: Optional[np.ndarray] = None,
+    escalation_batch: Optional[int] = None,
 ) -> tuple[np.ndarray, int, dict]:
     """All-SNP outlier statistics without P̃ as a matrix.
 
@@ -658,7 +683,16 @@ def score_sweep_matfree(
             break
         # deterministic order: descending bound, ties by ascending index
         order = np.lexsort((pairs[:, 0], -pairs[:, 1]))
-        esc = pairs[order[:k], 0].astype(np.int64)
+        # merged rounds: rescore the WHOLE violating set at once (blocked
+        # CG serves every column with the same kernel matvecs, so a wide
+        # rescore costs the same number of STORE PASSES as a narrow one —
+        # only the column assembly/transfer grows). The cap bounds host
+        # memory and column-fetch traffic; r4 measured ~77 s/sweep of
+        # sequential narrow escalation rounds at 50k×1M that this folds
+        # into one round (VERDICT r4 item 4).
+        cap = escalation_batch if escalation_batch is not None \
+            else max(k, 128)
+        esc = pairs[order[:cap], 0].astype(np.int64)
         t[esc] = rescore(esc)
         rescored[esc] = True
         t_best = max(t_best, float(t[esc].max()))
@@ -671,6 +705,234 @@ def score_sweep_matfree(
     info = {"escalation_rounds": rounds, "exhausted": exhausted,
             "n_rescored": int(np.count_nonzero(rescored & ~excluded))}
     return t, cand, info
+
+
+def score_sweep_matfree_multi(
+    ctx: MatfreeContext,
+    backend,
+    ys: list[np.ndarray],
+    Xs: list[np.ndarray],
+    fits: list[reml_core.RemlResult],
+    diag_probes: int = 128,
+    exact_topk: int = 64,
+    column_f64: Optional[Callable[[int], np.ndarray]] = None,
+    guard_sigmas: float = 4.0,
+    max_escalation_rounds: int = 4,
+    excludes: Optional[list[list[int]]] = None,
+    sol0s: Optional[list[Optional[np.ndarray]]] = None,
+    escalation_batch: Optional[int] = None,
+) -> list[tuple[np.ndarray, int, dict]]:
+    """R traits' (or permutations') score sweeps batched through ONE set
+    of store passes (VERDICT r4 item 2; SURVEY.md §4.3's batching rule).
+
+    Identical statistics to R calls of :func:`score_sweep_matfree` — the
+    same Hutchinson probe block (seed 12345), the same guard-proof
+    protocol, and per-column-exact CG — but every store-bound stage is
+    batched across traits:
+
+    - the [X_t y_t] solves run as ONE multi-shift blocked CG
+      (``solve_block_shifts``: H_t differ only by δ_t, so one kernel
+      matvec per iteration serves every trait's columns);
+    - the per-SNP dot block is ONE ``matfree_stat_rows_multi`` pass over
+      the resident stack (the serial form's R× HBM traffic collapses to
+      1×);
+    - shortlist and escalation rescores concatenate every trait's
+      candidate columns into one multi-shift CG per round, with the
+      rounds advancing in LOCKSTEP across traits (multi-host collective
+      calls stay identical on every process).
+
+    Differences from the serial form are confined to non-decision
+    bookkeeping: escalation rounds are merged (the whole violating set
+    rescored per round, as in the single-trait ``escalation_batch``
+    path), which can only grow the exactly-rescored set.
+
+    No Zmat support (the multi-trait driver is Z-free; use per-trait
+    :func:`score_sweep_matfree` for repeated-measures designs).
+    """
+    from eagleeverything_tpu.utils import distributed
+
+    R = len(ys)
+    n = ys[0].shape[0]
+    excludes = excludes if excludes is not None else [[] for _ in range(R)]
+    sol0s = sol0s if sol0s is not None else [None] * R
+    deltas = np.array([f.delta for f in fits])
+
+    # --- stage 0: one multi-shift CG for every trait's [X y] block ----
+    Xi_t, qs, cols = [], [], []
+    for t in range(R):
+        Xi, _ = reml_core.independent_cols(np.asarray(Xs[t], np.float64))
+        Xi_t.append(Xi)
+        qs.append(Xi.shape[1])
+        cols.append(Xi.shape[1] + 1)
+    B_cat = np.concatenate(
+        [np.column_stack([Xi_t[t], ys[t]]) for t in range(R)], axis=1)
+    shifts = np.concatenate(
+        [np.full(cols[t], deltas[t]) for t in range(R)])
+    x0 = None
+    if all(s is not None and s.shape == (n, cols[t])
+           for t, s in enumerate(sol0s)):
+        x0 = np.concatenate(sol0s, axis=1)
+    Sol_cat = ctx.solve_block_shifts(shifts, B_cat, x0=x0)
+
+    offs = np.concatenate([[0], np.cumsum(cols)])
+    Py_t, HiX_t, Minv_t = [], [], []
+    for t in range(R):
+        Sol = Sol_cat[:, offs[t] : offs[t + 1]]
+        q = qs[t]
+        HiX, Hiy = Sol[:, :q], Sol[:, q]
+        XtHiX = Xi_t[t].T @ HiX
+        XtHiy = Xi_t[t].T @ Hiy
+        Py_t.append(Hiy - HiX @ np.linalg.solve(XtHiX, XtHiy))
+        HiX_t.append(HiX)
+        Minv_t.append(np.linalg.inv(XtHiX))
+
+    # same probe block as the serial sweep (seed 12345): per-trait
+    # H_t^(-1/2)·probes are cheap per-δ applies of the ONE cached
+    # probe-Krylov basis — no extra store passes
+    rng = np.random.default_rng(12345)
+    probes = rng.choice((-1.0, 1.0), size=(n, diag_probes))
+    A_list = [np.column_stack([Py_t[t], HiX_t[t],
+                               ctx.isqrt_probes(deltas[t], probes)])
+              for t in range(R)]
+
+    # --- the ONE batched stack pass -----------------------------------
+    stats = backend.matfree_stat_rows_multi(A_list, qs, Minv_t)
+
+    mh = getattr(backend, "snp_range", None)
+    lo = mh[0] if mh is not None else 0
+    p = backend.p_global if mh is not None else stats[0][0].shape[0]
+    p_l = stats[0][0].shape[0]
+
+    t_est_t, excluded_t = [], []
+    for t in range(R):
+        ahat_l, U_l, diag_l, proj_l = stats[t]
+        vara_l = fits[t].sigma2_g * np.maximum(diag_l - proj_l, 1e-12)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            te_l = np.where(vara_l > 1e-12, ahat_l * ahat_l / vara_l, 0.0)
+        te = (distributed.allgather_concat_f64(te_l, backend.local_sizes)
+              if mh is not None else te_l)
+        excl = np.zeros(p, dtype=bool)
+        if excludes[t]:
+            excl[np.asarray(excludes[t], dtype=np.int64)] = True
+            te[excl] = 0.0
+        t_est_t.append(te)
+        excluded_t.append(excl)
+
+    if exact_topk <= 0 or column_f64 is None:
+        return [(t_est_t[t], int(np.argmax(t_est_t[t])),
+                 {"escalation_rounds": 0, "exhausted": False,
+                  "n_rescored": 0}) for t in range(R)]
+
+    # --- batched exact rescore ----------------------------------------
+    t_t = [te.copy() for te in t_est_t]
+    rescored_t = [excluded_t[t].copy() for t in range(R)]
+
+    def rescore_batched(idx_lists: list[np.ndarray]) -> list[np.ndarray]:
+        """Exact t per trait for per-trait index lists — ONE multi-shift
+        CG over the concatenated candidate columns (collective: every
+        host solves the same block)."""
+        widths = [len(ix) for ix in idx_lists]
+        if sum(widths) == 0:
+            return [np.zeros(0) for _ in range(R)]
+        Wsel = np.column_stack(
+            [column_f64(int(j)) for ix in idx_lists for j in ix])
+        sh = np.concatenate(
+            [np.full(widths[t], deltas[t]) for t in range(R)])
+        HiW = ctx.solve_block_shifts(sh, Wsel)
+        out, c0 = [], 0
+        for t in range(R):
+            w = widths[t]
+            Ws, Hs = Wsel[:, c0 : c0 + w], HiW[:, c0 : c0 + w]
+            c0 += w
+            if w == 0:
+                out.append(np.zeros(0))
+                continue
+            diag_exact = np.sum(Ws * Hs, axis=0)
+            ahat_l, U_l = stats[t][0], stats[t][1]
+            rows = np.zeros((w, 1 + qs[t]))
+            for i, j in enumerate(idx_lists[t]):
+                jl = int(j) - lo
+                if 0 <= jl < p_l:
+                    rows[i, 0] = ahat_l[jl]
+                    rows[i, 1:] = U_l[jl]
+            if mh is not None:
+                rows = distributed.allreduce_sum_f64(rows)
+            a_r, u_r = rows[:, 0], rows[:, 1:]
+            proj_r = np.einsum("jq,qr,jr->j", u_r, Minv_t[t], u_r)
+            vara_r = fits[t].sigma2_g * np.maximum(diag_exact - proj_r,
+                                                   1e-12)
+            out.append(np.where(vara_r > 1e-12, a_r * a_r / vara_r, 0.0))
+        return out
+
+    # stage 1: per-trait probe-ranked shortlists, one batched CG
+    tops, t_best = [], [0.0] * R
+    for t in range(R):
+        elig = np.nonzero(~excluded_t[t])[0]
+        k = min(exact_topk, elig.size)
+        top = elig[np.argpartition(t_est_t[t][elig], -k)[-k:]] \
+            if k > 0 else np.zeros(0, np.int64)
+        tops.append(top[np.argsort(-t_est_t[t][top], kind="stable")])
+    ts1 = rescore_batched(tops)
+    for t in range(R):
+        if tops[t].size:
+            t_t[t][tops[t]] = ts1[t]
+            rescored_t[t][tops[t]] = True
+            t_best[t] = float(ts1[t].max())
+
+    # stage 2: lockstep escalation — one batched CG per round over the
+    # union of every trait's bound-violating set
+    rel = min(0.9, guard_sigmas * math.sqrt(2.0 / max(diag_probes, 1)))
+    rounds = [0] * R
+    exhausted = [False] * R
+    cap = escalation_batch if escalation_batch is not None \
+        else max(exact_topk, 128)
+    for round_i in range(max_escalation_rounds + 1):
+        esc_sets = []
+        for t in range(R):
+            ahat_l, _, diag_l, proj_l = stats[t]
+            vara_lb_l = fits[t].sigma2_g * np.maximum(
+                diag_l * (1.0 - rel) - proj_l, 1e-12)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_ub_l = np.where(vara_lb_l > 1e-12,
+                                  ahat_l * ahat_l / vara_lb_l, 0.0)
+            t_ub_l = np.where(rescored_t[t][lo : lo + p_l], 0.0, t_ub_l)
+            cand_l = np.nonzero(t_ub_l > t_best[t])[0]
+            pairs_l = np.column_stack([
+                (cand_l + lo).astype(np.float64), t_ub_l[cand_l]])
+            pairs = (distributed.allgather_varlen_f64(pairs_l)
+                     if mh is not None else pairs_l)
+            if pairs.shape[0] == 0:
+                esc_sets.append(np.zeros(0, np.int64))
+                continue
+            order = np.lexsort((pairs[:, 0], -pairs[:, 1]))
+            esc_sets.append(pairs[order[:cap], 0].astype(np.int64))
+        live = [t for t in range(R) if esc_sets[t].size]
+        if not live:
+            break
+        if round_i == max_escalation_rounds:
+            for t in live:
+                exhausted[t] = True
+            break
+        ts = rescore_batched(esc_sets)
+        for t in live:
+            t_t[t][esc_sets[t]] = ts[t]
+            rescored_t[t][esc_sets[t]] = True
+            t_best[t] = max(t_best[t], float(ts[t].max()))
+            rounds[t] += 1
+
+    out = []
+    for t in range(R):
+        exact_idx = np.nonzero(rescored_t[t] & ~excluded_t[t])[0]
+        if exact_idx.size == 0:
+            out.append((t_t[t], 0, {"escalation_rounds": 0,
+                                    "exhausted": False, "n_rescored": 0}))
+            continue
+        cand = int(exact_idx[int(np.argmax(t_t[t][exact_idx]))])
+        out.append((t_t[t], cand, {
+            "escalation_rounds": rounds[t], "exhausted": exhausted[t],
+            "n_rescored": int(np.count_nonzero(
+                rescored_t[t] & ~excluded_t[t]))}))
+    return out
 
 
 def gls_wald_stats_matfree(
@@ -1074,15 +1336,23 @@ def forward_select_matfree_multi(
     for it in range(maxit):
         if not active:
             break
-        # 1) sweeps (one fused device pass per active trait over the
-        #    SHARED resident stack; Sol warm-started from the union basis)
+        # 1) ONE batched sweep for every active trait: one multi-shift CG
+        #    for the [X_t y_t] solves, one matfree_stat_rows_multi pass
+        #    over the SHARED resident stack, lockstep batched rescores
+        #    (score_sweep_matfree_multi — the serial form paid one full
+        #    stack pass per trait per iteration; VERDICT r4 item 2)
         cands: dict[int, int] = {}
-        for t in active:
-            sol0 = solver_t[t](fits[t].delta) if solver_t[t] else None
-            tv, cand, esc = score_sweep_matfree(
-                ctx, backend, ys[t], X_t[t], fits[t],
-                diag_probes=diag_probes, exact_topk=exact_topk,
-                column_f64=column_f64, exclude=selected[t], sol0=sol0)
+        sweeps = score_sweep_matfree_multi(
+            ctx, backend,
+            [ys[t] for t in active], [X_t[t] for t in active],
+            [fits[t] for t in active],
+            diag_probes=diag_probes, exact_topk=exact_topk,
+            column_f64=column_f64,
+            excludes=[selected[t] for t in active],
+            sol0s=[solver_t[t](fits[t].delta) if solver_t[t] else None
+                   for t in active])
+        for slot, t in enumerate(active):
+            tv, cand, esc = sweeps[slot]
             if esc["exhausted"]:
                 esc_exhausted[t].append(it)
             outlier_stats[t].append(tv)

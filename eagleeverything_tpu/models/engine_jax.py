@@ -322,11 +322,17 @@ def _packed_kv_any(Wp: jax.Array, V: jax.Array, n: int, tile: int,
 
 
 def _cg_loop(matvec_h, B: jax.Array, tol: jax.Array,
-             maxiter: int) -> jax.Array:
+             maxiter: int, b_norm2: Optional[jax.Array] = None) -> jax.Array:
     """Blocked CG for H·X = B with converged columns frozen (as in
     bigscan.blocked_cg); one while_loop, two GEMMs per iteration.
-    ``matvec_h`` applies the full shifted operator H = K/s0 + δI."""
-    b_norm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
+    ``matvec_h`` applies the full shifted operator H = K/s0 + δI.
+    ``b_norm2`` lets a warm-started caller (B here is the residual
+    B_orig − H·x0) keep convergence relative to the ORIGINAL right-hand
+    side: ‖R0‖ can exceed ‖B_orig‖ under a poor warm start, and testing
+    vs ‖R0‖ would then return a looser solve than a cold one."""
+    if b_norm2 is None:
+        b_norm2 = jnp.sum(B * B, axis=0)
+    b_norm2 = jnp.maximum(b_norm2, 1e-30)
 
     def cond(state):
         _, _, _, rs, k = state
@@ -354,16 +360,18 @@ def _cg_loop(matvec_h, B: jax.Array, tol: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("maxiter",))
 def _device_cg_jit(W: jax.Array, B: jax.Array, delta: jax.Array,
-                   s0: jax.Array, tol: jax.Array, maxiter: int) -> jax.Array:
+                   s0: jax.Array, tol: jax.Array, maxiter: int,
+                   b_norm2: Optional[jax.Array] = None) -> jax.Array:
     """Device CG on H = WᵀW/s0 + δI with a dense recoded stack W."""
     return _cg_loop(lambda V: _dense_kv(W, V) / s0 + delta * V,
-                    B, tol, maxiter)
+                    B, tol, maxiter, b_norm2)
 
 
 @functools.partial(jax.jit, static_argnames=("maxiter", "n_ind"))
 def _device_cg_z_jit(W: jax.Array, B: jax.Array, z_idx: jax.Array,
                      delta: jax.Array, s0: jax.Array, tol: jax.Array,
-                     maxiter: int, n_ind: int) -> jax.Array:
+                     maxiter: int, n_ind: int,
+                     b_norm2: Optional[jax.Array] = None) -> jax.Array:
     """Record-space device CG on H = Z·(WᵀW)·Zᵀ/s0 + δI — the 0/1
     incidence Z carried as z_idx (see _packed_cg_chunk_z_jit)."""
 
@@ -371,7 +379,7 @@ def _device_cg_z_jit(W: jax.Array, B: jax.Array, z_idx: jax.Array,
         Vi = jax.ops.segment_sum(V, z_idx, num_segments=n_ind)
         return _dense_kv(W, Vi)[z_idx] / s0 + delta * V
 
-    return _cg_loop(mv, B, tol, maxiter)
+    return _cg_loop(mv, B, tol, maxiter, b_norm2)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "reorth", "n_ind"))
@@ -652,6 +660,58 @@ def _stats_from_D_jit(D: jax.Array, Minv: jax.Array, q: int) -> jax.Array:
     return jnp.concatenate([ahat, U, diag, proj], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "tile", "q", "R"))
+def _packed_matfree_stats_multi_jit(Wp: jax.Array, A: jax.Array,
+                                    Minv: jax.Array, n: int, tile: int,
+                                    q: int, R: int) -> jax.Array:
+    """R traits' fused matfree sweep statistics in ONE stack pass.
+
+    A = column-concat of R per-trait [P̃y_t, H⁻¹X_t (q), H^(-1/2)probes_t
+    (r)] blocks, (n, R·(1+q+r)); Minv (R, q, q). The W·A GEMM serves every
+    trait from one read of the resident packed stack — the per-trait HBM
+    traffic the serial form paid R× (VERDICT r4 item 2; SURVEY.md §4.3's
+    batching rule applied to the packed-stack regime). Returns
+    (p_pad, R·(q+3)) rows [â, u, diag, proj] per trait."""
+    nb = Wp.shape[1]
+    n_tiles = Wp.shape[0] // tile
+    c = A.shape[1] // R
+    r = c - 1 - q
+
+    def body(i, out):
+        raw = jax.lax.dynamic_slice(Wp, (i * tile, 0), (tile, nb))
+        w = kernels.unpack_recode_tile(raw, n=n, compute_dtype="float32")
+        D = jnp.dot(w, A, preferred_element_type=jnp.float32)
+        D3 = D.reshape(tile, R, c)
+        ahat = D3[:, :, :1]
+        U = D3[:, :, 1 : 1 + q]
+        WHZ = D3[:, :, 1 + q :]
+        diag = jnp.sum(WHZ * WHZ, axis=2, keepdims=True) / r
+        proj = jnp.einsum("jtq,tqk,jtk->jt", U, Minv, U)[..., None]
+        rows = jnp.concatenate([ahat, U, diag, proj],
+                               axis=2).reshape(tile, R * (q + 3))
+        return jax.lax.dynamic_update_slice(out, rows, (i * tile, 0))
+
+    out0 = jnp.zeros((Wp.shape[0], R * (q + 3)), jnp.float32)
+    return jax.lax.fori_loop(0, n_tiles, body, out0)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "R"))
+def _stats_from_D_multi_jit(D: jax.Array, Minv: jax.Array, q: int,
+                            R: int) -> jax.Array:
+    """Multi-trait epilogue on a device-resident dot block D
+    ((p_pad, R·(1+q+r)) — the wide Pallas packed_dot output): reduces the
+    probe columns per trait on device, returns (p_pad, R·(q+3))."""
+    c = D.shape[1] // R
+    D3 = D.reshape(D.shape[0], R, c)
+    ahat = D3[:, :, :1]
+    U = D3[:, :, 1 : 1 + q]
+    WHZ = D3[:, :, 1 + q :]
+    diag = jnp.sum(WHZ * WHZ, axis=2, keepdims=True) / WHZ.shape[2]
+    proj = jnp.einsum("jtq,tqk,jtk->jt", U, Minv, U)[..., None]
+    return jnp.concatenate([ahat, U, diag, proj],
+                           axis=2).reshape(D.shape[0], R * (q + 3))
+
+
 @functools.partial(jax.jit, static_argnames=("n", "tile"))
 def _packed_sweep_dots_jit(Wp: jax.Array, A: jax.Array,
                            n: int, tile: int) -> jax.Array:
@@ -668,6 +728,20 @@ def _packed_sweep_dots_jit(Wp: jax.Array, A: jax.Array,
 
     out0 = jnp.zeros((Wp.shape[0], A.shape[1]), jnp.float32)
     return jax.lax.fori_loop(0, n_tiles, body, out0)
+
+
+def _shift_param(delta, r_pad: int) -> np.ndarray:
+    """CG shift as a device parameter: a scalar δ, or PER-COLUMN shifts
+    (δ_t per trait/permutation — the multi-shift batched solve; operators
+    H_t = K/s0 + δ_t·I differ only in the diagonal, and `delta * V`
+    broadcasts per column) padded to the padded RHS width. Pad value 1.0
+    is inert: padded columns start with rs = 0 and stay frozen."""
+    d = np.asarray(delta, dtype=np.float32)
+    if d.ndim == 0:
+        return d
+    out = np.ones(r_pad, np.float32)
+    out[: d.shape[0]] = d
+    return out
 
 
 def _pad_cols8(B: np.ndarray) -> np.ndarray:
@@ -1088,21 +1162,29 @@ class TiledScan:
         zi = (jnp.asarray(z_idx, jnp.int32) if z_idx is not None else None)
         W = self._w_stack()
         if W is not None:
+            # convergence stays relative to the ORIGINAL ‖B‖ even in the
+            # warm-started residual form (a poor warm start can make
+            # ‖R0‖ > ‖B‖, which would otherwise loosen the solve)
+            bn2 = jnp.sum(jnp.asarray(_pad_cols8(B), jnp.float32) ** 2,
+                          axis=0)
             if x0 is not None:
                 # residual-form warm start: H·D = B − H·x0, X = x0 + D
                 R0 = B - self._h_apply_host(x0, delta, s0, z_idx)
             else:
                 R0, x0 = B, np.zeros_like(B)
+            R0p = _pad_cols8(R0)
+            dlt = jnp.asarray(_shift_param(delta, R0p.shape[1]))
             if zi is not None:
                 D = _device_cg_z_jit(
-                    W, jnp.asarray(_pad_cols8(R0), jnp.float32), zi,
-                    jnp.float32(delta), jnp.float32(s0),
-                    jnp.float32(max(tol, 1e-6)), maxiter, self.src.n)
+                    W, jnp.asarray(R0p, jnp.float32), zi,
+                    dlt, jnp.float32(s0),
+                    jnp.float32(max(tol, 1e-6)), maxiter, self.src.n,
+                    b_norm2=bn2)
             else:
                 D = _device_cg_jit(
-                    W, jnp.asarray(_pad_cols8(R0), jnp.float32),
-                    jnp.float32(delta), jnp.float32(s0),
-                    jnp.float32(max(tol, 1e-6)), maxiter)
+                    W, jnp.asarray(R0p, jnp.float32),
+                    dlt, jnp.float32(s0),
+                    jnp.float32(max(tol, 1e-6)), maxiter, b_norm2=bn2)
             return x0 + np.asarray(D, dtype=np.float64)[:, :r]
         Wp = self._packed_stack()
         if Wp is None:
@@ -1143,16 +1225,17 @@ class TiledScan:
         # (kernel_matvec, matfree_stat_rows, sweep_dots, and the host
         # Lanczos loop — see device_lanczos).
         means, pallas = jnp.zeros((1, 1), jnp.float32), False
+        dlt = jnp.asarray(_shift_param(delta, int(B_d.shape[1])))
         while done < maxiter:
             if zi is not None:
                 st = _packed_cg_chunk_z_jit(
-                    Wp, *st, b_norm2, jnp.float32(delta), jnp.float32(s0),
+                    Wp, *st, b_norm2, dlt, jnp.float32(s0),
                     tol_d, means, zi, chunk=min(chunk, maxiter - done),
                     n=self.src.n, tile=self.tile_snps, pallas=pallas,
                     n_ind=self.src.n)
             else:
                 st = _packed_cg_chunk_jit(
-                    Wp, *st, b_norm2, jnp.float32(delta), jnp.float32(s0),
+                    Wp, *st, b_norm2, dlt, jnp.float32(s0),
                     tol_d, means, chunk=min(chunk, maxiter - done),
                     n=self.src.n, tile=self.tile_snps, pallas=pallas)
             done += chunk
@@ -1230,31 +1313,37 @@ class TiledScan:
                 # A's width is 1+q+r and q grows each iteration — pad to
                 # a multiple of 8 so the jitted program doesn't recompile
                 # per forward-selection step (zero cols are inert).
-                # Width is CAPPED at 40 columns per dispatch: the one-shot
-                # (p, 136)-output form of this program twice hit a
-                # >18-minute XLA compile wall at 50k×1M (r3), so wide
-                # blocks are column-chunked — each chunk re-reads the
-                # resident stack (HBM-bound, ~1 s at 12.5 GB), which is
-                # noise next to a multi-minute compile. The engine's
-                # default per-iteration pass is matfree_stat_rows'
-                # (p, 3+q8) fused program, NOT this one.
                 r = A.shape[1]
                 means, pallas = self._pallas_state()
+                if pallas:
+                    # the Pallas kernel re-tiles over the packed words and
+                    # has no XLA unrolled-loop compile wall — wide blocks
+                    # ride ONE stack pass (a (p,136) request costs one
+                    # 12.5 GB HBM read, not four; VERDICT r4 weak 6)
+                    from eagleeverything_tpu.ops import pallas_packed as pp
+                    A8 = jnp.asarray(_pad_cols8(A), jnp.float32)
+                    nw = Wp.shape[1]
+                    A3 = pp.to_plane(A8, self.src.n, nw).reshape(
+                        pp.PLANES, nw, A8.shape[1])
+                    out = pp.packed_dot(Wp, A3, means)
+                    return np.asarray(out, dtype=np.float64)[
+                        : self.src.p, :r]
+                # XLA unpack path: width CAPPED at 40 columns per
+                # dispatch — the one-shot (p, 136)-output form of this
+                # program twice hit a >18-minute XLA compile wall at
+                # 50k×1M (r3), so wide blocks are column-chunked; each
+                # chunk re-reads the resident stack (HBM-bound, ~1 s at
+                # 12.5 GB), noise next to a multi-minute compile. The
+                # engine's default per-iteration pass is
+                # matfree_stat_rows' (p, 3+q8) fused program, NOT this.
                 ch = 40
                 if A.shape[1] > ch:
                     parts = [self.sweep_dots(A[:, c0 : c0 + ch])
                              for c0 in range(0, A.shape[1], ch)]
                     return np.concatenate(parts, axis=1)
                 A8 = jnp.asarray(_pad_cols8(A), jnp.float32)
-                if pallas:
-                    from eagleeverything_tpu.ops import pallas_packed as pp
-                    nw = Wp.shape[1]
-                    A3 = pp.to_plane(A8, self.src.n, nw).reshape(
-                        pp.PLANES, nw, A8.shape[1])
-                    out = pp.packed_dot(Wp, A3, means)
-                else:
-                    out = _packed_sweep_dots_jit(
-                        Wp, A8, n=self.src.n, tile=self.tile_snps)
+                out = _packed_sweep_dots_jit(
+                    Wp, A8, n=self.src.n, tile=self.tile_snps)
                 return np.asarray(out, dtype=np.float64)[: self.src.p, :r]
         A_d = jnp.asarray(A, dtype=jnp.float32)
         out = np.empty((self.src.p, A.shape[1]))
@@ -1313,6 +1402,81 @@ class TiledScan:
         diag = np.mean(WHZ * WHZ, axis=1)
         proj = np.einsum("jq,qr,jr->j", U, XtHiX_inv, U)
         return ahat, U, diag, proj
+
+    def matfree_stat_rows_multi(
+        self, A_list: list[np.ndarray], q_list: list[int],
+        Minv_list: list[np.ndarray],
+    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """R traits'/permutations' sweep statistics from ONE pass over the
+        genotype rows (matfree_stat_rows batched along a trait axis —
+        SURVEY.md §4.3's batching rule; VERDICT r4 item 2).
+
+        A_list[t] = [P̃y_t, H⁻¹X_t (q_t cols), H^(-1/2)probes_t (r cols)]
+        with a COMMON probe count r; q_t may differ (selections diverge
+        across traits) — every trait is padded to a shared multiple-of-8
+        q so the device program compiles once per (R, q8, r) and zero
+        columns stay inert. Returns per-trait (ahat, U, diag, proj), rows
+        local to this process on a multi-host backend (like
+        matfree_stat_rows)."""
+        R = len(A_list)
+        if R == 1:
+            return [self.matfree_stat_rows(A_list[0], q_list[0],
+                                           Minv_list[0])]
+        r = A_list[0].shape[1] - 1 - q_list[0]
+        n_rec = A_list[0].shape[0]
+        q8 = -(-max(max(q_list), 1) // 8) * 8
+        c = 1 + q8 + r
+        A_cat = np.zeros((n_rec, R * c))
+        M_cat = np.zeros((R, q8, q8))
+        for t in range(R):
+            qt = q_list[t]
+            assert A_list[t].shape[1] - 1 - qt == r, \
+                "matfree_stat_rows_multi needs a common probe count"
+            A_cat[:, t * c] = A_list[t][:, 0]
+            A_cat[:, t * c + 1 : t * c + 1 + qt] = A_list[t][:, 1 : 1 + qt]
+            A_cat[:, t * c + 1 + q8 : (t + 1) * c] = A_list[t][:, 1 + qt :]
+            M_cat[t, :qt, :qt] = Minv_list[t]
+        if self.cache_packed_device:
+            Wp = self._packed_stack()
+            if Wp is not None:
+                means, pallas = self._pallas_state()
+                if pallas:
+                    # wide fused Pallas dot (no XLA compile wall) + the
+                    # on-device multi-trait probe reduction: the
+                    # (p, R·c) D block never leaves HBM
+                    from eagleeverything_tpu.ops import pallas_packed as pp
+                    nw = Wp.shape[1]
+                    A_d = jnp.asarray(A_cat, jnp.float32)
+                    A3 = pp.to_plane(A_d, self.src.n, nw).reshape(
+                        pp.PLANES, nw, A_d.shape[1])
+                    D = pp.packed_dot(Wp, A3, means)
+                    out = np.asarray(_stats_from_D_multi_jit(
+                        D, jnp.asarray(M_cat, jnp.float32), q=q8, R=R),
+                        dtype=np.float64)[: self.src.p]
+                else:
+                    out = np.asarray(_packed_matfree_stats_multi_jit(
+                        Wp, jnp.asarray(A_cat, jnp.float32),
+                        jnp.asarray(M_cat, jnp.float32),
+                        n=self.src.n, tile=self.tile_snps, q=q8, R=R),
+                        dtype=np.float64)[: self.src.p]
+                w = q8 + 3
+                return [(out[:, t * w], out[:, t * w + 1 : t * w + 1 + qt],
+                         out[:, t * w + 1 + q8], out[:, t * w + 2 + q8])
+                        for t, qt in enumerate(q_list)]
+        # streamed fallback: ONE sweep_dots pass over the concatenated
+        # block (the store is still read once for all traits), host
+        # per-trait reductions
+        D = self.sweep_dots(A_cat)
+        res = []
+        for t, qt in enumerate(q_list):
+            Dt = D[:, t * c : (t + 1) * c]
+            ahat = Dt[:, 0]
+            U = Dt[:, 1 : 1 + qt]
+            WHZ = Dt[:, 1 + q8 :]
+            diag = np.mean(WHZ * WHZ, axis=1)
+            proj = np.einsum("jq,qr,jr->j", U, Minv_list[t], U)
+            res.append((ahat, U, diag, proj))
+        return res
 
     def sweep_batched(
         self, Lp: np.ndarray, Py: np.ndarray, sigma2_g: np.ndarray
@@ -1436,26 +1600,29 @@ class MultiHostTiledScan(TiledScan):
         if W is None:
             return None
         r = B.shape[1]
+        # convergence vs the ORIGINAL ‖B‖ (not ‖R0‖) — see TiledScan
+        bn2 = np.sum(_pad_cols8(B).astype(np.float32) ** 2, axis=0)
         if x0 is not None and x0.shape == B.shape:
             # residual-form warm start (collective: every host passes the
             # same replicated x0, so the extra kernel_matvec stays lockstep)
             R0 = B - self._h_apply_host(x0, delta, s0, z_idx)
         else:
             R0, x0 = B, np.zeros_like(B)
+        R0p = _pad_cols8(R0)
+        dlt = self._replicated(_shift_param(delta, R0p.shape[1]))
         if z_idx is not None:
             D = _device_cg_z_jit(
-                W, self._replicated(_pad_cols8(R0)),
+                W, self._replicated(R0p),
                 self._replicated(np.asarray(z_idx, np.int32)),
-                self._replicated(np.float32(delta)),
-                self._replicated(np.float32(s0)),
+                dlt, self._replicated(np.float32(s0)),
                 self._replicated(np.float32(max(tol, 1e-6))), maxiter,
-                self.src.n)
+                self.src.n, b_norm2=self._replicated(bn2))
         else:
             D = _device_cg_jit(
-                W, self._replicated(_pad_cols8(R0)),
-                self._replicated(np.float32(delta)),
-                self._replicated(np.float32(s0)),
-                self._replicated(np.float32(max(tol, 1e-6))), maxiter)
+                W, self._replicated(R0p),
+                dlt, self._replicated(np.float32(s0)),
+                self._replicated(np.float32(max(tol, 1e-6))), maxiter,
+                b_norm2=self._replicated(bn2))
         return x0 + np.asarray(D.addressable_data(0),
                                dtype=np.float64)[:, :r]
 

@@ -106,6 +106,64 @@ def test_am_multi_auto_routes_to_matfree(multi, monkeypatch):
     assert called.get("yes")
 
 
+def test_score_sweep_matfree_multi_matches_serial(multi):
+    """The batched sweep (one multi-shift CG + one matfree_stat_rows_multi
+    pass for all traits) returns the same statistics, candidate, and
+    proof bookkeeping as per-trait score_sweep_matfree — including with
+    DIVERGED per-trait models (different q_t and exclude sets)."""
+    from eagleeverything_tpu.models import bigscan, engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+
+    sim1, q2, pheno = multi
+    src = engine_jax.DenseTileSource(sim1.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    ctx = bigscan.make_context(backend, 130, probes=32)
+    X0 = np.ones((130, 1))
+    col = backend.column_f64
+    y2 = np.asarray(pheno["y2"], np.float64)
+    ys = [np.asarray(sim1.y, np.float64), y2]
+    # diverge the models: trait 2 already carries one selected marker
+    Xs = [X0, np.column_stack([X0, col(123)])]
+    excludes = [[], [123]]
+    fits = [bigscan.reml_maximize_matfree(ctx, ys[t], Xs[t])
+            for t in range(2)]
+
+    serial = [bigscan.score_sweep_matfree(
+        ctx, backend, ys[t], Xs[t], fits[t], diag_probes=96,
+        exact_topk=16, column_f64=col, exclude=excludes[t])
+        for t in range(2)]
+    batched = bigscan.score_sweep_matfree_multi(
+        ctx, backend, ys, Xs, fits, diag_probes=96, exact_topk=16,
+        column_f64=col, excludes=excludes)
+    for t in range(2):
+        ts, cs, _ = serial[t]
+        tb, cb, infob = batched[t]
+        assert cb == cs, t
+        # every exactly-rescored entry agrees to CG tolerance; probe
+        # estimates are identical (same probe block)
+        np.testing.assert_allclose(tb[cs], ts[cs], rtol=1e-5)
+        assert not infob["exhausted"]
+
+
+def test_solve_block_shifts_matches_per_delta(multi):
+    """One multi-shift CG equals per-δ blocked solves column by column."""
+    from eagleeverything_tpu.models import bigscan, engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+
+    sim1, _, _ = multi
+    src = engine_jax.DenseTileSource(sim1.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    ctx = bigscan.make_context(backend, 130, probes=16)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((130, 5))
+    shifts = np.array([0.3, 0.3, 2.0, 7.0, 0.01])
+    Xm = ctx.solve_block_shifts(shifts, B)
+    for c in range(5):
+        ref = ctx.solve_block(float(shifts[c]), B[:, c : c + 1])
+        np.testing.assert_allclose(Xm[:, c], ref[:, 0], rtol=2e-4,
+                                   atol=1e-7)
+
+
 def test_am_multi_matfree_no_signal_trait(multi):
     """A pure-noise trait in the lockstep matfree scan selects nothing
     and never perturbs its co-scanned signal trait (traits go inactive
