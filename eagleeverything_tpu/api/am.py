@@ -140,6 +140,9 @@ def am_multi(
     quiet: bool = True,
     engine: str = "auto",
     config: EagleConfig = DEFAULT_CONFIG,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
+    log_jsonl: Optional[str] = None,
 ) -> dict[str, AMResult]:
     """Scan several traits in one pass (BASELINE config 5).
 
@@ -205,7 +208,9 @@ def am_multi(
             exact_topk=config.matfree_exact_topk,
             solve_m=config.matfree_solve_m,
             solve_m_refit=config.matfree_solve_m_refit,
+            cache_max_bytes=int(config.matfree_cache_gb * 1e9),
             column_f64=backend.column_f64, trait_names=list(traits),
+            log_jsonl=log_jsonl, ckpt_dir=ckpt_dir, resume=resume,
         )
     elif engine == "jax":
         results = engine_jax.forward_select_multi(

@@ -156,14 +156,21 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
     and the per-permutation sweep is the two-stage probe/exact score
     sweep. The SLQ probe set and Hutchinson scale s0 are shared across
     all permutations, and — the SURVEY §4.3 batching rule applied to the
-    Krylov regime — the null-model solves for a whole CHUNK of
-    permutations ride ONE shift-invariant Lanczos pass on the block
-    [X | y_π1 … y_πR]: the Krylov space of H(δ)=K+δI is δ-independent,
-    so that single pass (m streamed/collective matvecs) serves every
-    permutation × every δ-grid point × the golden refinement, instead of
-    one full pass per permutation. Chunk size is capped by the basis
-    cache budget; the sweep + candidate REML stay per-rep (the sweep's
-    store pass is per-permutation by nature)."""
+    Krylov regime — EVERY store-bound stage batches across the chunk:
+
+    - null-model solves ride ONE shift-invariant Lanczos pass on the
+      block [X | y_π1 … y_πR] (the Krylov space of H(δ)=K+δI is
+      δ-independent, so one pass serves every permutation × every δ-grid
+      point × the golden refinement);
+    - the score sweeps ride ONE ``score_sweep_matfree_multi`` call (one
+      stat-rows stack pass + multi-shift CG rescores for the whole
+      chunk — the r4 form paid one full store pass per permutation,
+      VERDICT r4 item 2);
+    - the candidate REML refits share ONE union Krylov basis over the
+      per-rep [X w_cand y] blocks (the am_multi refit pattern).
+
+    Chunk size is capped by the basis cache budget. Zmat designs fall
+    back to per-rep serial sweeps (the batched sweep is Z-free)."""
     from eagleeverything_tpu.models import bigscan
     from eagleeverything_tpu.models.bigscan import ShiftedKrylov
 
@@ -214,9 +221,8 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
                     Y[:, rep], Xi, Sol[:, cols], ld)[0]
 
         import scipy.optimize as _opt
+        fits0: list = []
         for rep in range(R):
-            r_glob = c0 + rep
-            y_perm = Y[:, rep]
             gi = int(np.argmax(grid_lls[:, rep]))
             lo = grid[max(gi - 1, 0)]
             hi = grid[min(gi + 1, ngrids)]
@@ -226,25 +232,50 @@ def _matfree_lam_crits(prep, src, backend, numreps: int,
                 options={"xatol": 1e-3})
             d0 = float(math.exp(res.x))
             ll0, yPy = bigscan._ll_from_solution(
-                y_perm, Xi, sk.solve(d0)[:, list(range(q)) + [q + rep]],
+                Y[:, rep], Xi, sk.solve(d0)[:, list(range(q)) + [q + rep]],
                 ctx.logdet(d0))
             s2g = yPy / (n - q)
-            fit0 = reml_core.RemlResult(delta=d0, loglik=ll0,
-                                        sigma2_g=s2g,
-                                        sigma2_e=d0 * s2g)
+            fits0.append(reml_core.RemlResult(delta=d0, loglik=ll0,
+                                              sigma2_g=s2g,
+                                              sigma2_e=d0 * s2g))
             hint = d0
-            _, cand, _ = bigscan.score_sweep_matfree(
-                ctx, backend, y_perm, X0, fit0, column_f64=column_f64,
-                Z=Z)
-            w_col = column_f64(cand)
+
+        # the chunk's sweeps: ONE batched pass (Z-free designs); the
+        # chunk basis warm-starts every rep's [X y] solve at its δ̂
+        if Z is None:
+            sol0s = [sk.solve(fits0[rep].delta)[
+                :, list(range(q)) + [q + rep]] for rep in range(R)]
+            sweeps = bigscan.score_sweep_matfree_multi(
+                ctx, backend, [Y[:, rep] for rep in range(R)],
+                [X0] * R, fits0, column_f64=column_f64, sol0s=sol0s)
+            cands = [cand for _, cand, _ in sweeps]
+        else:
+            cands = [bigscan.score_sweep_matfree(
+                ctx, backend, Y[:, rep], X0, fits0[rep],
+                column_f64=column_f64, Z=Z)[1] for rep in range(R)]
+
+        # the chunk's candidate refits: one union Krylov basis over the
+        # per-rep [X w_cand y] blocks (am_multi's refit pattern)
+        x_cols = []
+        X1s = []
+        for rep in range(R):
+            w_col = column_f64(cands[rep])
             x_col = Z @ w_col if Z is not None else w_col
-            X1 = np.hstack([X0, x_col[:, None]])
-            fit1 = bigscan.reml_maximize_matfree(ctx, y_perm, X1,
-                                                 delta_hint=d0)
+            x_cols.append(x_col)
+            X1s.append(np.hstack([X0, x_col[:, None]]))
+        m_refit = min(ctx.solve_m, max(ctx.solve_m_refit, 16))
+        uk = bigscan._UnionKrylov(ctx, [
+            np.column_stack([reml_core.independent_cols(X1s[rep])[0],
+                             Y[:, rep]]) for rep in range(R)], m_refit)
+        for rep in range(R):
+            r_glob = c0 + rep
+            fit1 = bigscan.reml_maximize_matfree(
+                ctx, Y[:, rep], X1s[rep], delta_hint=fits0[rep].delta,
+                solver=uk.solver(rep))
             lam_crits[r_glob] = (
-                2.0 * (fit1.loglik - fit0.loglik) - math.log(n)
+                2.0 * (fit1.loglik - fits0[rep].loglik) - math.log(n)
             ) / (2.0 * log_choose_p1)
             if not quiet:
-                print(f"[fpr4am:matfree] rep={r_glob} cand={cand} "
+                print(f"[fpr4am:matfree] rep={r_glob} cand={cands[rep]} "
                       f"lambda_crit={lam_crits[r_glob]:.4f}")
     return lam_crits

@@ -188,22 +188,28 @@ class ShiftedKrylov:
     def cache_bytes(n: int, r: int, m: int) -> int:
         return min(m, n) * n * r * 8
 
-    def _apply(self, fvals: np.ndarray) -> np.ndarray:
-        """f(K+δI)·Z from eigen-coordinate values fvals (m, r)."""
-        c = np.einsum("jkl,lj->kj", self.Q, fvals * self.Q0)
-        c *= self.z_norm[None, :]
+    def _apply(self, fvals: np.ndarray,
+               sl: slice = slice(None)) -> np.ndarray:
+        """f(K+δI)·Z from eigen-coordinate values fvals (m, width) for
+        the column slice ``sl`` (all columns by default). Slice-aware so
+        a union-block caller (_UnionKrylov) pays O(width), not O(r_total),
+        per trait per δ."""
+        c = np.einsum("jkl,lj->kj", self.Q[sl], fvals * self.Q0[:, sl])
+        c *= self.z_norm[sl][None, :]
         if self._V_dev is not None:
             import jax.numpy as jnp
             r_pad = self._V_dev.shape[2]
+            s0, s1, _ = sl.indices(self.r)   # resolve vs the TRUE width
             c_pad = np.zeros((self.m, r_pad), dtype=np.float32)
-            c_pad[:, : self.r] = c
+            c_pad[:, s0:s1] = c
             out = jnp.einsum("mnr,mr->nr", self._V_dev,
                              jnp.asarray(c_pad))
-            return np.asarray(out, dtype=np.float64)[:, : self.r]
-        return np.einsum("mnr,mr->nr", self.V, c)
+            return np.asarray(out, dtype=np.float64)[:, s0:s1]
+        return np.einsum("mnr,mr->nr", self.V[:, :, sl], c)
 
-    def solve(self, delta: float) -> np.ndarray:
-        return self._apply(1.0 / np.maximum(self.w + delta, 1e-300))
+    def solve(self, delta: float, sl: slice = slice(None)) -> np.ndarray:
+        return self._apply(
+            1.0 / np.maximum(self.w[:, sl] + delta, 1e-300), sl)
 
     def isqrt(self, delta: float) -> np.ndarray:
         return self._apply(1.0 / np.sqrt(np.maximum(self.w + delta, 1e-300)))
@@ -454,9 +460,17 @@ def reml_maximize_matfree(
     B = np.column_stack([Xi, y])
     sk = None
     if solver is not None:
-        probe = solver(1.0)
-        if probe is None or probe.shape != B.shape:
-            solver = None  # rank changed under the caller — rebuild below
+        # width check via the solver's advertised shape when it has one
+        # (a _UnionKrylov slice) — probing with a full solve just for the
+        # shape costs an O(n·m·width) apply
+        sshape = getattr(solver, "shape", None)
+        if sshape is not None:
+            if tuple(sshape) != B.shape:
+                solver = None  # rank changed under the caller
+        else:
+            probe = solver(1.0)
+            if probe is None or probe.shape != B.shape:
+                solver = None
     if solver is not None:
         def ll_of(d: float) -> float:
             return _ll_from_solution(y, Xi, solver(d), ctx.logdet(d))[0]
@@ -1102,14 +1116,25 @@ def forward_select_matfree(
             # content fingerprint: shape equality alone accepted a STALE
             # checkpoint once (same n/p/lambda, regenerated trait+store)
             # and silently resumed the wrong scan — match the trait's
-            # moments too, and refuse fingerprint-less (older) states
+            # moments too. A checkpoint WITHOUT fingerprint keys (written
+            # by a pre-fingerprint build) starts fresh with a warning —
+            # aborting would strand an in-flight long scan; the hard
+            # refusal is reserved for an actual mismatch.
             fp = (round(float(np.sum(y)), 6), round(float(y @ y), 6))
-            if (meta.get("trait_n"), meta.get("p"),
+            if "trait_sum" not in meta:
+                import warnings
+                warnings.warn(
+                    "matfree checkpoint has no trait fingerprint "
+                    "(pre-fingerprint format) — starting fresh",
+                    stacklevel=2)
+                state = None
+            elif (meta.get("trait_n"), meta.get("p"),
                     meta.get("lam_ebic")) != (n, p, lam_ebic) \
                     or (meta.get("trait_sum"), meta.get("trait_sq")) != fp:
                 raise ValueError("refusing to resume: matfree checkpoint "
                                  "was written for different inputs "
                                  "(shape or trait fingerprint mismatch)")
+        if state is not None:
             selected = [int(j) for j in state["selected"]]
             for j in selected:
                 col = column_f64(j)
@@ -1250,11 +1275,20 @@ class _UnionKrylov:
 
     def solver(self, t: int):
         """δ ↦ H(δ)⁻¹[X_t y_t] for trait slot ``t`` (None when the union
-        block exceeded the basis cache budget — callers fall back to CG)."""
+        block exceeded the basis cache budget — callers fall back to CG).
+        The returned callable carries ``.shape`` so the caller's validity
+        check is a tuple compare, not a full union-width solve; the
+        eigen-coordinate apply touches ONLY this trait's column slice
+        (O(width) per δ, not O(r_total))."""
         if self.sk is None:
             return None
         sl = self.slices[t]
-        return lambda d: self.sk.solve(d)[:, sl]
+
+        def f(d, _sl=sl):
+            return self.sk.solve(d, sl=_sl)
+
+        f.shape = (self.sk.n, sl.stop - sl.start)
+        return f
 
 
 def forward_select_matfree_multi(
@@ -1270,10 +1304,16 @@ def forward_select_matfree_multi(
     exact_topk: int = 64,
     solve_m: int = 128,
     solve_m_refit: int = 64,
+    cache_max_bytes: Optional[int] = None,
+    cg_tol: float = 1e-8,
+    cg_maxiter: int = 400,
     column_f64: Optional[Callable[[int], np.ndarray]] = None,
     quiet: bool = True,
     trait_names: Optional[list[str]] = None,
     s0: Optional[float] = None,
+    log_jsonl: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> list[AMResult]:
     """The AM loop for R traits in lockstep at biobank n (matrix-free).
 
@@ -1293,22 +1333,35 @@ def forward_select_matfree_multi(
     Reference: repeated ``AM()`` calls (SURVEY.md §3.1 FPR4AM/AM notes);
     BASELINE config 5.
     """
+    from eagleeverything_tpu.utils import distributed
+    from eagleeverything_tpu.utils.logging import ScanLogger
+
     ys = np.asarray(ys, dtype=np.float64)
     X0 = np.asarray(X0, dtype=np.float64)
     R, n = ys.shape
     p = getattr(backend, "p_global", backend.src.p)
     if column_f64 is None:
         raise ValueError("forward_select_matfree_multi needs column_f64")
+    logger = ScanLogger(quiet=quiet, jsonl_path=log_jsonl,
+                        is_host0=distributed.is_host0())
 
     ctx = make_context(backend, n, probes=probes, lanczos_m=lanczos_m,
                        s0=s0)
     ctx.solve_m = solve_m
     ctx.solve_m_refit = solve_m_refit
+    ctx.cg_tol = cg_tol
+    ctx.cg_maxiter = cg_maxiter
+    if cache_max_bytes is not None:
+        ctx.cache_max_bytes = int(cache_max_bytes)
     m_refit = min(ctx.solve_m, max(ctx.solve_m_refit, 16))
 
     def reduced_block(y, X):
         Xi, _ = reml_core.independent_cols(X)
         return np.column_stack([Xi, y])
+
+    def trait_fp(t: int) -> list:
+        return [round(float(np.sum(ys[t])), 6),
+                round(float(ys[t] @ ys[t]), 6)]
 
     # per-trait state
     X_t = [X0 for _ in range(R)]
@@ -1318,22 +1371,69 @@ def forward_select_matfree_multi(
     outlier_stats: list[list[np.ndarray]] = [[] for _ in range(R)]
     esc_exhausted: list[list[int]] = [[] for _ in range(R)]
     active = list(range(R))
-
-    # initial fits: one union basis over [X0 y_t] for every trait
-    uk = _UnionKrylov(ctx, [reduced_block(ys[t], X0) for t in range(R)],
-                      ctx.solve_m)
     fits: list = [None] * R
     best = [math.inf] * R
     solver_t: list = [None] * R
-    for slot, t in enumerate(range(R)):
-        solver_t[t] = uk.solver(slot)
-        fits[t] = reml_maximize_matfree(ctx, ys[t], X_t[t],
-                                        solver=solver_t[t])
-        best[t] = reml_core.extbic(fits[t].loglik, n, p, 0, lam_ebic)
-        extbic_path[t].append(best[t])
-        loglik_path[t].append(fits[t].loglik)
+    it0 = 0
 
-    for it in range(maxit):
+    state = None
+    if resume and ckpt_dir is not None:
+        from eagleeverything_tpu.utils import checkpoint as ckpt
+        state = ckpt.load_multi_scan_state(ckpt_dir)
+    if state is not None:
+        meta = state.get("meta", {})
+        fps = [s.get("fingerprint") for s in state["states"]]
+        if (meta.get("n"), meta.get("p"), meta.get("lam_ebic"),
+                len(state["states"])) != (n, p, lam_ebic, R) \
+                or fps != [trait_fp(t) for t in range(R)]:
+            raise ValueError("refusing to resume: multi-trait matfree "
+                             "checkpoint was written for different "
+                             "inputs (shape or trait fingerprints)")
+        active = []
+        for t, st in enumerate(state["states"]):
+            selected[t] = [int(j) for j in st["selected"]]
+            for j in selected[t]:
+                X_t[t] = np.hstack([X_t[t], column_f64(j)[:, None]])
+            extbic_path[t] = [float(v) for v in st["extbic_path"]]
+            loglik_path[t] = [float(v) for v in st["loglik_path"]]
+            best[t] = extbic_path[t][-1]
+            # the checkpointed fit is the loop's own exact accepted fit
+            fits[t] = reml_core.RemlResult(
+                delta=float(st["delta"]),
+                loglik=float(st["loglik_path"][-1]),
+                sigma2_g=float(st["sigma2_g"]),
+                sigma2_e=float(st["sigma2_e"]))
+            if st["active"]:
+                active.append(t)
+        it0 = int(meta.get("it_next", 0))
+        logger.event("resume", it_next=it0, active=len(active))
+    else:
+        # initial fits: one union basis over [X0 y_t] for every trait
+        uk = _UnionKrylov(ctx, [reduced_block(ys[t], X0)
+                                for t in range(R)], ctx.solve_m)
+        for slot, t in enumerate(range(R)):
+            solver_t[t] = uk.solver(slot)
+            fits[t] = reml_maximize_matfree(ctx, ys[t], X_t[t],
+                                            solver=solver_t[t])
+            best[t] = reml_core.extbic(fits[t].loglik, n, p, 0, lam_ebic)
+            extbic_path[t].append(best[t])
+            loglik_path[t].append(fits[t].loglik)
+
+    def save_ckpt(it_next: int) -> None:
+        if ckpt_dir is None:
+            return
+        from eagleeverything_tpu.utils import checkpoint as ckpt
+        ckpt.save_multi_scan_state(
+            ckpt_dir,
+            [{"selected": selected[t], "extbic_path": extbic_path[t],
+              "loglik_path": loglik_path[t], "delta": fits[t].delta,
+              "sigma2_g": fits[t].sigma2_g, "sigma2_e": fits[t].sigma2_e,
+              "active": t in active, "fingerprint": trait_fp(t)}
+             for t in range(R)],
+            meta={"n": n, "p": p, "lam_ebic": lam_ebic,
+                  "it_next": it_next})
+
+    for it in range(it0, maxit):
         if not active:
             break
         # 1) ONE batched sweep for every active trait: one multi-shift CG
@@ -1375,6 +1475,8 @@ def forward_select_matfree_multi(
             ebic_new = reml_core.extbic(fit_new.loglik, n, p,
                                         len(selected[t]) + 1, lam_ebic)
             accepted = bool(ebic_new < best[t]) or fixit
+            logger.event("iteration", it=it, trait=t, candidate=cands[t],
+                         extbic=float(ebic_new), accepted=accepted)
             if not quiet:
                 print(f"[matfree-multi] it={it} trait={t} "
                       f"cand={cands[t]} extBIC {best[t]:.4f} -> "
@@ -1387,7 +1489,9 @@ def forward_select_matfree_multi(
                 solver_t[t] = sv     # [X_new y] block = next sweep's [X y]
                 still.append(t)
         active = still
+        save_ckpt(it + 1)
 
+    logger.close()
     out = []
     for t in range(R):
         res = AMResult(

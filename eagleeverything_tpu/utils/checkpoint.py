@@ -58,6 +58,33 @@ def load_scan_state(ckpt_dir: str) -> Optional[dict]:
         return json.load(f)
 
 
+_MSTATE = "multi_scan_state.json"
+
+
+def save_multi_scan_state(ckpt_dir: str, states: list[dict],
+                          meta: Optional[dict] = None) -> None:
+    """Multi-trait scan checkpoint: one atomic file holding every
+    trait's state (selected/extbic_path/loglik_path/delta/sigma2_g/
+    sigma2_e/active + a per-trait fingerprint inside each entry).
+    The lockstep loop resumes every trait from the same iteration
+    boundary, so one file keeps the traits mutually consistent
+    (SURVEY.md §6.3/§6.4; VERDICT r4 item 3)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {"version": 1, "states": states, "meta": meta or {}}
+    tmp = os.path.join(ckpt_dir, f"{_MSTATE}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, os.path.join(ckpt_dir, _MSTATE))
+
+
+def load_multi_scan_state(ckpt_dir: str) -> Optional[dict]:
+    path = os.path.join(ckpt_dir, _MSTATE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def clear_scan_state(ckpt_dir: str) -> None:
     path = os.path.join(ckpt_dir, _STATE)
     if os.path.exists(path):

@@ -106,6 +106,81 @@ def test_am_multi_auto_routes_to_matfree(multi, monkeypatch):
     assert called.get("yes")
 
 
+def test_am_multi_matfree_checkpoint_resume(multi, tmp_path):
+    """A killed lockstep multi-trait scan resumes from its checkpoint to
+    the identical selection (VERDICT r4 item 3: §6.3/§6.4 at the one
+    scale forward_select_matfree_multi exists for)."""
+    from eagleeverything_tpu.models import bigscan, engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+
+    sim1, q2, pheno = multi
+    src = engine_jax.DenseTileSource(sim1.geno)
+    ys = np.stack([np.asarray(pheno["y1"], np.float64),
+                   np.asarray(pheno["y2"], np.float64)])
+    X0 = np.ones((130, 1))
+    kw = dict(probes=32, diag_probes=96, exact_topk=16)
+
+    def backend():
+        return engine_jax.TiledScan(src, EagleConfig())
+
+    col = backend().column_f64
+    fresh = bigscan.forward_select_matfree_multi(
+        ys, X0, backend(), maxit=5, column_f64=col, **kw)
+    assert any(len(r.indices) >= 2 for r in fresh)
+    d = str(tmp_path / "mck")
+    # "kill" after 1 iteration, then resume to the same maxit
+    bigscan.forward_select_matfree_multi(
+        ys, X0, backend(), maxit=1, fixit=True, column_f64=col,
+        ckpt_dir=d, **kw)
+    resumed = bigscan.forward_select_matfree_multi(
+        ys, X0, backend(), maxit=5, column_f64=col, ckpt_dir=d,
+        resume=True, **kw)
+    for t in range(2):
+        assert resumed[t].indices == fresh[t].indices, t
+        np.testing.assert_allclose(resumed[t].extbic_path,
+                                   fresh[t].extbic_path, rtol=1e-6)
+
+    # a checkpoint for DIFFERENT traits must refuse to resume
+    ys_bad = ys.copy()
+    ys_bad[0] = ys_bad[0] + 1.0
+    with pytest.raises(ValueError, match="refusing to resume"):
+        bigscan.forward_select_matfree_multi(
+            ys_bad, X0, backend(), maxit=5, column_f64=col, ckpt_dir=d,
+            resume=True, **kw)
+
+
+def test_matfree_resume_unfingerprinted_starts_fresh(multi, tmp_path):
+    """Single-trait resume with a pre-fingerprint checkpoint warns and
+    starts fresh instead of aborting the run (advisor r4)."""
+    import json
+
+    from eagleeverything_tpu.models import bigscan, engine_jax
+    from eagleeverything_tpu.utils.config import EagleConfig
+
+    sim1, _, _ = multi
+    src = engine_jax.DenseTileSource(sim1.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    X0 = np.ones((130, 1))
+    kw = dict(probes=32, diag_probes=96, exact_topk=16,
+              column_f64=backend.column_f64)
+    d = str(tmp_path / "ck")
+    bigscan.forward_select_matfree(sim1.y, X0, backend, maxit=1,
+                                   fixit=True, ckpt_dir=d, **kw)
+    sp = tmp_path / "ck" / "scan_state.json"
+    st = json.loads(sp.read_text())
+    for k in ("trait_sum", "trait_sq", "fit_exact"):
+        st["meta"].pop(k, None)
+    sp.write_text(json.dumps(st))
+    with pytest.warns(UserWarning, match="no trait fingerprint"):
+        res = bigscan.forward_select_matfree(
+            sim1.y, X0, engine_jax.TiledScan(src, EagleConfig()),
+            maxit=3, ckpt_dir=d, resume=True, **kw)
+    fresh = bigscan.forward_select_matfree(
+        sim1.y, X0, engine_jax.TiledScan(src, EagleConfig()),
+        maxit=3, **kw)
+    assert res.indices == fresh.indices  # started from scratch
+
+
 def test_score_sweep_matfree_multi_matches_serial(multi):
     """The batched sweep (one multi-shift CG + one matfree_stat_rows_multi
     pass for all traits) returns the same statistics, candidate, and
