@@ -239,6 +239,18 @@ def test_solve_block_shifts_matches_per_delta(multi):
                                    atol=1e-7)
 
 
+def test_multi_jax_engine_guards_host_eigh(multi):
+    """Forcing engine='jax' above host_eigh_max_n errors loudly instead
+    of materializing an n-squared f64 eigenbasis on the host."""
+    from eagleeverything_tpu.utils.config import EagleConfig
+
+    sim1, _, pheno = multi
+    cfg = EagleConfig(host_eigh_max_n=64)   # n=130 > 64
+    with pytest.raises(ValueError, match="matfree"):
+        ee.am_multi(["y1"], geno=sim1.geno, pheno=pheno, maxit=2,
+                    engine="jax", config=cfg)
+
+
 def test_am_multi_matfree_no_signal_trait(multi):
     """A pure-noise trait in the lockstep matfree scan selects nothing
     and never perturbs its co-scanned signal trait (traits go inactive
