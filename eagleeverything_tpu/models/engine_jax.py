@@ -763,6 +763,10 @@ class TiledScan:
     def __init__(self, src: TileSource, config: EagleConfig):
         self.src = src
         self.config = config
+        # observability: full passes over the genotype rows (matvecs,
+        # sweeps, stat rows) — the unit the relay-bound dispatch budget
+        # is spent in; readable by benchmarks/scanlogs
+        self.stack_passes = 0
         self.tile_snps = config.resolve_snp_tile(
             src.n, meshlib.pad_to_multiple(src.p, 128))
         itemsize = 2 if config.compute_dtype == "bfloat16" else 4
@@ -1095,6 +1099,7 @@ class TiledScan:
     def kernel_matvec(self, V: np.ndarray) -> np.ndarray:
         """Raw-kernel matvec MMt·V (V (n, r)) via streamed tiles — K is
         never materialized (biobank n; docs/design_biobank_scale.md)."""
+        self.stack_passes += 1
         V_d = jnp.asarray(V, dtype=jnp.float32)
         if self.cache_packed_device:
             Wp = self._packed_stack()
@@ -1362,6 +1367,7 @@ class TiledScan:
         streamed sweep_dots pass + host reduction. q is padded to a
         multiple of 8 in the fused path so the program doesn't recompile
         as the model grows (zero u/Minv columns are inert)."""
+        self.stack_passes += 1
         if self.cache_packed_device:
             Wp = self._packed_stack()
             if Wp is not None:
@@ -1422,6 +1428,7 @@ class TiledScan:
         if R == 1:
             return [self.matfree_stat_rows(A_list[0], q_list[0],
                                            Minv_list[0])]
+        self.stack_passes += 1
         r = A_list[0].shape[1] - 1 - q_list[0]
         n_rec = A_list[0].shape[0]
         q8 = -(-max(max(q_list), 1) // 8) * 8

@@ -43,10 +43,35 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK_P = 512     # SNP rows per grid step
-NW_BLK = 128    # packed int32 words per grid step (= 128 genotype
-#                 cols/plane; same 512 bytes/row/step as the r3 kernels)
+import os as _os
+
+# Max SNP rows per grid step (also the stack's row-padding alignment).
+# The row block is the lever that bounds the SKINNY-OPERAND re-fetch:
+# the (PLANES, NW_BLK, r) a-block changes every inner j step, so its
+# total DMA volume is (p_pad/blk)·|A3| — at the r4 fixed 512 that was
+# ~0.8·r MB × 1954 steps ≈ 16× the 12.5 GB stack read at r=130
+# (measured: the r=130 stats pass ran 4.4 s where the stack-bound
+# roofline is <0.5 s). Kernels pick the LARGEST row block that fits the
+# ~16 MB/core VMEM budget for their r (_pick_blk) — measured: 2048 at
+# r=137 exceeds the scoped-vmem limit by 0.9 MB, so wide calls step
+# down; every candidate divides BLK_P, which is what the stack pads to.
+BLK_P = int(_os.environ.get("EAGLE_PALLAS_BLK_P", "2048"))
+NW_BLK = 128    # packed int32 words per grid step (128 genotype
+#                 cols/plane); does NOT affect a-block traffic (the
+#                 per-step block shrinks as the step count grows)
 PLANES = 16     # 2-bit planes per int32 word
+
+
+def _pick_blk(r: int) -> int:
+    """Largest row block whose VMEM working set (double-buffered wp/a
+    blocks, out accumulator, unpack scratch — Mosaic's scoped stack) fits
+    the ~16 MB/core budget with headroom. Thresholds are set from the
+    measured 16.88 MB failure at (blk=2048, r=137)."""
+    if r <= 64:
+        return BLK_P
+    if r <= 192:
+        return min(BLK_P, 1024)
+    return min(BLK_P, 512)
 
 
 def _auto_interpret() -> bool:
@@ -119,19 +144,20 @@ def packed_dot(Wp: jax.Array, A3: jax.Array, means: jax.Array,
     p_pad, nw = Wp.shape
     r = A3.shape[2]
     interpret = interpret or _auto_interpret()
-    grid = (p_pad // BLK_P, nw // NW_BLK)
+    blk = _pick_blk(r)
+    grid = (p_pad // blk, nw // NW_BLK)
     return pl.pallas_call(
         _dot_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLK_P, NW_BLK), lambda i, j: (i, j),
+            pl.BlockSpec((blk, NW_BLK), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PLANES, NW_BLK, r), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_P, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((blk, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLK_P, r), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((blk, r), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, r), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -175,16 +201,17 @@ def packed_tdot(Wp: jax.Array, T: jax.Array, means: jax.Array,
     p_pad, nw = Wp.shape
     r = T.shape[1]
     interpret = interpret or _auto_interpret()
-    grid = (nw // NW_BLK, p_pad // BLK_P)
+    blk = _pick_blk(r)
+    grid = (nw // NW_BLK, p_pad // blk)
     return pl.pallas_call(
         _tdot_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLK_P, NW_BLK), lambda i, j: (j, i),
+            pl.BlockSpec((blk, NW_BLK), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_P, r), lambda i, j: (j, 0),
+            pl.BlockSpec((blk, r), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_P, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((blk, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((PLANES, NW_BLK, r), lambda i, j: (0, i, 0),

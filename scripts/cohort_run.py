@@ -300,6 +300,65 @@ def run(dir: str, maxit: int, engine: str,
     print(json.dumps(out), flush=True)
 
 
+def warm_sweep(dir: str, pallas: str = "on") -> None:
+    """Measure ONE warm steady-state sweep at the checkpointed model
+    (VERDICT r4 item 4's 'Done' row): resume state from the scan
+    checkpoint, delta-hinted refit, then one full score_sweep_matfree —
+    reporting wall, escalation rounds, and the stack-pass dispatch count
+    (backend.stack_passes). r4 baseline: 136–163 s with ~77 s of
+    sequential escalation-CG rescoring; the merged escalation + batched
+    rescore should land ≤100 s."""
+    from eagleeverything_tpu.api.read import GenoHandle
+    from eagleeverything_tpu.models import bigscan, engine_jax
+    from eagleeverything_tpu.utils import checkpoint as ckpt
+    from eagleeverything_tpu.utils.jaxinit import enable_compilation_cache
+
+    enable_compilation_cache()
+    with open(os.path.join(dir, "meta.json")) as f:
+        meta = json.load(f)
+    y = np.load(os.path.join(dir, "y.npy"))
+    state = ckpt.load_scan_state(os.path.join(dir, "ckpt"))
+    assert state is not None, "no scan checkpoint — run --run first"
+    handle = GenoHandle(n=meta["n"], p=meta["p"], source="cohort",
+                        store_dir=os.path.join(dir, "store"))
+    src = engine_jax._make_source(handle, None)
+    backend = engine_jax.TiledScan(src, _cohort_cfg(pallas))
+    selected = [int(j) for j in state["selected"]]
+    X = np.ones((meta["n"], 1))
+    for j in selected:
+        X = np.hstack([X, backend.column_f64(j)[:, None]])
+    ctx = bigscan.make_context(backend, meta["n"])
+    ctx.solve_m, ctx.solve_m_refit = 128, 64
+
+    t0 = time.perf_counter()
+    d0 = backend.stack_passes
+    fit, sk = bigscan.reml_maximize_matfree(
+        ctx, y, X, delta_hint=state.get("delta"), return_sk=True)
+    refit_s = time.perf_counter() - t0
+    refit_passes = backend.stack_passes - d0
+
+    t1 = time.perf_counter()
+    d1 = backend.stack_passes
+    t, cand, info = bigscan.score_sweep_matfree(
+        ctx, backend, y, X, fit, column_f64=backend.column_f64,
+        exclude=selected, sol0=sk.solve(fit.delta) if sk else None)
+    sweep_s = time.perf_counter() - t1
+    out = {
+        "what": "warm steady-state sweep at the checkpointed "
+                f"{len(selected)}-marker model (50k x 1M)",
+        "selected_model": selected,
+        "refit_s": round(refit_s, 1), "refit_stack_passes": refit_passes,
+        "sweep_s": round(sweep_s, 1),
+        "sweep_stack_passes": backend.stack_passes - d1,
+        "snps_per_s": round(meta["p"] / sweep_s, 1),
+        "candidate": int(cand), "t_cand": float(t[cand]),
+        "escalation": info, "pallas": pallas,
+    }
+    with open(os.path.join(dir, "warm_sweep.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=DEFAULT_DIR)
@@ -324,11 +383,17 @@ def main() -> None:
     ap.add_argument("--rescore-truth", action="store_true",
                     help="power cross-check: exact t + extBIC delta of "
                          "every planted truth SNP under the final model")
+    ap.add_argument("--warm-sweep", action="store_true",
+                    help="measure one warm steady-state sweep at the "
+                         "checkpointed model (wall + dispatch count)")
     args = ap.parse_args()
     if args.gen or not os.path.exists(os.path.join(args.dir, "meta.json")):
         generate(args.dir, args.n, args.p)
     if args.pallas_bench:
         return pallas_bench(args.dir)
+    if args.warm_sweep:
+        return warm_sweep(args.dir, "on" if args.pallas == "auto"
+                          else args.pallas)
     if args.run:
         run(args.dir, args.maxit, args.engine, pallas=args.pallas)
     if args.rescore_truth:

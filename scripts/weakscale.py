@@ -118,6 +118,28 @@ KV = backend.kernel_matvec(V)
 out["matvec_collective_s"] = (
     med(lambda: distributed.allreduce_sum_f64(KV)) if nproc > 1 else 0.0)
 
+# (e) matfree stat-rows pass: the (batched) sweep's per-iteration device
+# unit — one local dot block over the shard; its only cross-host cost is
+# the O(p) statistic gather, timed as the collective component. R traits
+# ride the SAME pass (matfree_stat_rows_multi), so this row's collective
+# fraction bounds the batched multi-trait sweep too.
+A_sr = np.ascontiguousarray(rng.standard_normal((n, 1 + 8 + 16)))
+Minv_sr = np.eye(8)
+backend.matfree_stat_rows(A_sr, 8, Minv_sr)
+out["statrows_s"] = med(lambda: backend.matfree_stat_rows(A_sr, 8, Minv_sr))
+if nproc > 1:
+    te_l = np.zeros(backend.src.p)
+    out["statrows_collective_s"] = med(lambda: (
+        distributed.allgather_concat_f64(te_l, backend.local_sizes)))
+else:
+    out["statrows_collective_s"] = 0.0
+
+# collective payload bytes per phase — published so the report can state
+# the ICI/DCN time budget these payloads imply at pod scale
+out["payload_bytes"] = {
+    "mmt": n * n * 8, "matvec": n * 16 * 8,
+    "sweep_eig": int(p_glob * 8), "statrows": int(p_glob * 8)}
+
 # (d) whole-CG-solve comparison: streamed host CG (one gRPC allreduce
 # per iteration) vs the collective device Krylov (one jitted GSPMD
 # program, XLA-inserted psum per iteration)
@@ -202,7 +224,8 @@ def run_point(nproc: int, n: int, p_local: int, reps: int, tmp: str) -> dict:
 
 PHASES = (("sweep_eig", "sweep_gather_s"),
           ("matvec", "matvec_collective_s"),
-          ("mmt", "mmt_collective_s"))
+          ("mmt", "mmt_collective_s"),
+          ("statrows", "statrows_collective_s"))
 
 
 def main() -> None:
@@ -290,6 +313,8 @@ def main() -> None:
                                   if any(cgh) else None)
         pt["cg_device_s_median"] = (float(np.median([x for x in cgd if x]))
                                     if any(cgd) else None)
+        pt["collective_payload_bytes"] = rounds[0][nproc].get(
+            "payload_bytes")
         report["points"][nproc] = pt
 
     if args.out:

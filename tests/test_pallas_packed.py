@@ -16,7 +16,7 @@ from eagleeverything_tpu.ops import pallas_packed as pp
 from eagleeverything_tpu.ops import kernels
 
 N, P = 1000, 400          # logical shape
-P_PAD = 512               # BLK_P multiple
+P_PAD = pp.BLK_P          # BLK_P multiple (env-tunable, default 2048)
 NW = 128                  # NW_BLK multiple (holds ⌈⌈N/4⌉/4⌉ = 63 real words)
 
 
