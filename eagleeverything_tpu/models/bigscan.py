@@ -65,6 +65,12 @@ def blocked_cg(
     P = R.copy()
     rs = np.sum(R * R, axis=0)
     b_norm2 = np.maximum(np.sum(B * B, axis=0), 1e-300)
+    # stall guard: with an f32 device matvec underneath, the reachable
+    # residual floors near f32 noise — once no active column has
+    # QUARTERED its norm² within 10 iterations, further matvecs (each a
+    # full store pass) buy nothing
+    floor = rs.copy()
+    since_progress = 0
     for _ in range(maxiter):
         active = rs > tol * tol * b_norm2
         if not active.any():
@@ -78,6 +84,13 @@ def blocked_cg(
         beta = np.where(active, rs_new / np.maximum(rs, 1e-300), 0.0)
         P = R + P * beta[None, :]
         rs = rs_new
+        if np.all(rs >= 0.25 * floor):
+            since_progress += 1
+            if since_progress >= 10:
+                break
+        else:
+            since_progress = 0
+        floor = np.minimum(floor, rs)
     return X
 
 

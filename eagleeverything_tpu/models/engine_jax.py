@@ -437,6 +437,58 @@ def _packed_cg_chunk_jit(Wp: jax.Array, X: jax.Array, R: jax.Array,
         X, R, P, rs, b_norm2, tol, chunk)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "tile", "pallas"))
+def _packed_cg_step_jit(Wp: jax.Array, means: jax.Array, X: jax.Array,
+                        R: jax.Array, P: jax.Array, rs: jax.Array,
+                        b_norm2: jax.Array, delta: jax.Array,
+                        s0: jax.Array, tol: jax.Array,
+                        n: int, tile: int, pallas: bool):
+    """ONE CG iteration on the packed stack, one dispatch, state resident.
+
+    The TPU packed path's CG: the host drives the loop but X/R/P stay in
+    HBM and only the (r,) residual norms cross the relay per step — the
+    host-CG form moved the full (n, r) blocks down AND up every
+    iteration (≈25 MB/step at r=64 on a 25–45 MB/s relay, which was the
+    measured warm-sweep wall). A single step per dispatch keeps the
+    stack out of any loop-carried program (the r4 layout-copy trap bites
+    fori_loop bodies that carry state past the stack, not one-shot
+    reads)."""
+    active = rs > tol * tol * b_norm2
+    HP = _packed_kv_any(Wp, P, n, tile, means, pallas) / s0 + delta * P
+    pHp = jnp.sum(P * HP, axis=0)
+    alpha = jnp.where(active & (pHp > 0),
+                      rs / jnp.maximum(pHp, 1e-30), 0.0)
+    X = X + P * alpha[None, :]
+    R = R - HP * alpha[None, :]
+    rs_new = jnp.sum(R * R, axis=0)
+    beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+    P = R + P * beta[None, :]
+    return X, R, P, rs_new
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile", "pallas",
+                                             "n_ind"))
+def _packed_cg_step_z_jit(Wp: jax.Array, means: jax.Array, z_idx: jax.Array,
+                          X: jax.Array, R: jax.Array, P: jax.Array,
+                          rs: jax.Array, b_norm2: jax.Array,
+                          delta: jax.Array, s0: jax.Array, tol: jax.Array,
+                          n: int, tile: int, pallas: bool, n_ind: int):
+    """Record-space single CG step (Zmat designs; see _packed_cg_step_jit)."""
+    active = rs > tol * tol * b_norm2
+    Vi = jax.ops.segment_sum(P, z_idx, num_segments=n_ind)
+    HP = _packed_kv_any(Wp, Vi, n, tile, means, pallas)[z_idx] / s0 \
+        + delta * P
+    pHp = jnp.sum(P * HP, axis=0)
+    alpha = jnp.where(active & (pHp > 0),
+                      rs / jnp.maximum(pHp, 1e-30), 0.0)
+    X = X + P * alpha[None, :]
+    R = R - HP * alpha[None, :]
+    rs_new = jnp.sum(R * R, axis=0)
+    beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+    P = R + P * beta[None, :]
+    return X, R, P, rs_new
+
+
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n", "tile", "pallas",
                                     "n_ind"))
@@ -1198,12 +1250,61 @@ class TiledScan:
             # The loop-carried chunk programs are RETIRED on TPU for the
             # int32 stack: XLA's layout assignment prefers a transposed
             # stack inside fori_loop bodies and inserts an 11.9 GB
-            # whole-stack copy (OOM at 50k×1M; measured r4 — the
-            # one-dispatch programs compile copy-free). Decline here:
-            # the caller's host CG runs one kernel_matvec DISPATCH per
-            # iteration (Pallas fused when on — 0.445 s/pass at 50k×1M,
-            # 7.7× the XLA unpack), which is the faster form anyway.
-            return None
+            # whole-stack copy (OOM at 50k×1M; measured r4). Instead:
+            # HOST-ORCHESTRATED, DEVICE-RESIDENT CG — one single-step
+            # jitted program per iteration (_packed_cg_step_jit; the
+            # stack enters each dispatch as a one-shot read, so no
+            # layout trap), with X/R/P resident in HBM and only the (r,)
+            # residual norms fetched per step. This retires the r4 form
+            # (host CG round-tripping the full (n, r) block per matvec —
+            # ~25 MB/step at r=64 through the relay, the measured
+            # warm-sweep wall).
+            means, pallas = self._pallas_state()
+            r_pad = _pad_cols8(B).shape[1]
+            bn2_np = np.maximum(
+                np.sum(_pad_cols8(B).astype(np.float32) ** 2, axis=0),
+                1e-30)
+            if x0 is not None:
+                R0 = B - self._h_apply_host(x0, delta, s0, z_idx)
+            else:
+                R0, x0 = B, np.zeros_like(B)
+            Rd = jnp.asarray(_pad_cols8(R0), jnp.float32)
+            Xd = jnp.zeros_like(Rd)
+            Pd = Rd
+            rs = jnp.sum(Rd * Rd, axis=0)
+            bn2 = jnp.asarray(bn2_np, jnp.float32)
+            dlt = jnp.asarray(_shift_param(delta, r_pad))
+            tol_e = max(tol, 1e-6)
+            tol_d = jnp.float32(tol_e)
+            # stall detection: the f32 matvec floors the reachable
+            # residual; once no active column has QUARTERED its norm² in
+            # 10 steps, further iterations only burn dispatches
+            floor = np.asarray(rs, dtype=np.float64)
+            since = 0
+            for _ in range(maxiter):
+                rs_h = np.asarray(rs, dtype=np.float64)
+                if not np.any(rs_h > tol_e * tol_e * bn2_np):
+                    break
+                if np.all(rs_h >= 0.25 * floor):
+                    since += 1
+                    if since >= 10:
+                        break
+                else:
+                    since = 0
+                floor = np.minimum(floor, rs_h)
+                if zi is not None:
+                    Xd, Rd, Pd, rs = _packed_cg_step_z_jit(
+                        Wp, means, zi, Xd, Rd, Pd, rs, bn2, dlt,
+                        jnp.float32(s0), tol_d, n=self.src.n,
+                        tile=self.tile_snps, pallas=pallas,
+                        n_ind=self.src.n)
+                else:
+                    Xd, Rd, Pd, rs = _packed_cg_step_jit(
+                        Wp, means, Xd, Rd, Pd, rs, bn2, dlt,
+                        jnp.float32(s0), tol_d, n=self.src.n,
+                        tile=self.tile_snps, pallas=pallas)
+                self.stack_passes += 1
+            return x0 + np.asarray(Xd, dtype=np.float64)[:, :r]
         chunk = max(1, int(os.environ.get("EAGLE_PACKED_CHUNK", "8")))
         B_d = jnp.asarray(_pad_cols8(B), jnp.float32)
         b_norm2 = jnp.maximum(jnp.sum(B_d * B_d, axis=0), 1e-30)
