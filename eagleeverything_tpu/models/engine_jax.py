@@ -1281,17 +1281,22 @@ class TiledScan:
             # 10 steps, further iterations only burn dispatches
             floor = np.asarray(rs, dtype=np.float64)
             since = 0
-            for _ in range(maxiter):
-                rs_h = np.asarray(rs, dtype=np.float64)
-                if not np.any(rs_h > tol_e * tol_e * bn2_np):
-                    break
-                if np.all(rs_h >= 0.25 * floor):
-                    since += 1
-                    if since >= 10:
+            for it_cg in range(maxiter):
+                # convergence/stall test every OTHER step: np.asarray(rs)
+                # forces a device sync per call, and converged columns
+                # are frozen on-device anyway, so one overshoot step is
+                # cheaper than a sync per step on the relay
+                if it_cg % 2 == 0:
+                    rs_h = np.asarray(rs, dtype=np.float64)
+                    if not np.any(rs_h > tol_e * tol_e * bn2_np):
                         break
-                else:
-                    since = 0
-                floor = np.minimum(floor, rs_h)
+                    if np.all(rs_h >= 0.25 * floor):
+                        since += 1
+                        if since >= 5:
+                            break
+                    else:
+                        since = 0
+                    floor = np.minimum(floor, rs_h)
                 if zi is not None:
                     Xd, Rd, Pd, rs = _packed_cg_step_z_jit(
                         Wp, means, zi, Xd, Rd, Pd, rs, bn2, dlt,
