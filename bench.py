@@ -505,11 +505,17 @@ def bench_cohort_full(args) -> None:
         # BOUNDS the wall — time it separately so the JSON decomposes
         # compute vs transfer (a TPU-VM's PCIe D2H is ~100× faster and
         # the batched form's compute win is the real number there).
+        import jax
         import jax.numpy as jnp
         q8 = 8
         w_multi = R * (q8 + 3)
-        dev_m = jnp.zeros((scan._pstack.shape[0], w_multi), jnp.float32)
-        dev_s = jnp.zeros((scan._pstack.shape[0], q8 + 3), jnp.float32)
+        # random (incompressible) device buffers: the relay transparently
+        # compresses transfers, so a zeros probe measured 0.0 s
+        key = jax.random.PRNGKey(0)
+        dev_m = jax.random.normal(
+            key, (scan._pstack.shape[0], w_multi), jnp.float32)
+        dev_s = jax.random.normal(
+            key, (scan._pstack.shape[0], q8 + 3), jnp.float32)
         np.asarray(dev_s)
         td = []
         for _ in range(2):
