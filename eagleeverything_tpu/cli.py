@@ -131,7 +131,10 @@ def _run(args) -> int:
                 results = ee.am_multi(traits, geno=geno, pheno=pheno,
                                       fformula=args.fformula, map=map_h,
                                       maxit=args.maxit, fixit=args.fixit,
-                                      lam=args.lam, quiet=False)
+                                      lam=args.lam, quiet=False,
+                                      ckpt_dir=args.ckpt_dir,
+                                      resume=args.resume,
+                                      log_jsonl=args.log_jsonl)
             if args.json:
                 payload = {t: {"indices": r.indices,
                                "marker_names": r.marker_names,
