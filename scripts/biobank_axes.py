@@ -51,10 +51,15 @@ P_AXIS = dict(n=2_048, p=5_000_000, n_qtl=4, seed=12)
 # ---------------------------------------------------------------------------
 
 
-def gen_n(dir: str) -> None:
+def gen_n(dir: str, n_override: int = 0, p_override: int = 0) -> None:
     from eagleeverything_tpu.io.genostore import GenotypeStore
 
     n, p, n_qtl, seed = (N_AXIS[k] for k in ("n", "p", "n_qtl", "seed"))
+    # --n/--p overrides: the COMBINED-axes config (VERDICT r4 item 7,
+    # e.g. 131072 × 262144) reuses this generator + split-store worker
+    # with both axes non-trivial; everything downstream reads meta_n.json
+    n = n_override or n
+    p = p_override or p
     os.makedirs(dir, exist_ok=True)
     full = os.path.join(dir, "store_full")
     rng = np.random.default_rng(seed)
@@ -181,8 +186,9 @@ print("proc", pid, "done in", round(wall, 1), "s", flush=True)
 """
 
 
-def run_n(dir: str, maxit: int) -> None:
-    out_file = os.path.join(REPO, "docs", "biobank_axis_n_result.json")
+def run_n(dir: str, maxit: int, out_name: str = "biobank_axis_n_result.json",
+          ckpt: str = "") -> None:
+    out_file = os.path.join(REPO, "docs", out_name)
     s = socket.socket(); s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]; s.close()
     procs = []
@@ -193,6 +199,8 @@ def run_n(dir: str, maxit: int) -> None:
                    EAGLE_PROC_ID=str(pid), EAGLE_BIOBANK_DIR=dir,
                    EAGLE_OUT=out_file, EAGLE_MAXIT=str(maxit),
                    JAX_PLATFORMS="cpu")
+        if ckpt:
+            env["EAGLE_CKPT"] = ckpt
         logf = open(os.path.join(dir, f"run_n_proc{pid}.log"), "w")
         procs.append((subprocess.Popen(
             [sys.executable, "-c", _WORKER_N], env=env,
@@ -325,12 +333,20 @@ def main() -> None:
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--maxit", type=int, default=3)
     ap.add_argument("--dir", default=BASE)
+    ap.add_argument("--n", type=int, default=0,
+                    help="override n for --axis n (combined-axes runs)")
+    ap.add_argument("--p", type=int, default=0,
+                    help="override p for --axis n (combined-axes runs)")
+    ap.add_argument("--out-name", default="biobank_axis_n_result.json",
+                    help="result filename under docs/ for --axis n")
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint dir override for --axis n")
     args = ap.parse_args()
     if args.axis == "n":
         if args.gen:
-            gen_n(args.dir)
+            gen_n(args.dir, args.n, args.p)
         if args.run:
-            run_n(args.dir, args.maxit)
+            run_n(args.dir, args.maxit, args.out_name, args.ckpt)
     else:
         if args.gen:
             gen_p(args.dir)
