@@ -220,6 +220,48 @@ def test_matfree_checkpoint_resume(tmp_path):
     assert reseeded.indices == fresh.indices
 
 
+def test_sweep_state_checkpoint_reuse(tmp_path):
+    """Intra-iteration durability: the sweep's stat-rows output is cached
+    keyed by the exact decision state — a resumed sweep skips the CG +
+    stack pass and still returns identical statistics; a CHANGED state
+    (different δ) misses the cache."""
+    sim = simulate_dataset(n=100, p=400, n_qtl=2, seed=31, h2_qtl=0.55)
+    X0 = np.ones((100, 1))
+    src = engine_jax.DenseTileSource(sim.geno)
+    backend = engine_jax.TiledScan(src, EagleConfig())
+    ctx = bigscan.make_context(backend, 100, probes=32)
+    fit = bigscan.reml_maximize_matfree(ctx, sim.y, X0)
+    d = str(tmp_path / "sw")
+    kw = dict(diag_probes=96, exact_topk=16,
+              column_f64=backend.column_f64, sweep_ckpt=d)
+    t1, c1, _ = bigscan.score_sweep_matfree(ctx, backend, sim.y, X0, fit,
+                                            **kw)
+
+    calls = {"n": 0}
+    orig = backend.matfree_stat_rows
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    backend.matfree_stat_rows = spy
+    t2, c2, _ = bigscan.score_sweep_matfree(ctx, backend, sim.y, X0, fit,
+                                            **kw)
+    assert calls["n"] == 0          # cache hit: no stack pass
+    assert c2 == c1
+    np.testing.assert_allclose(t2, t1, rtol=1e-9)
+
+    fit2 = dataclasses_replace_delta(fit, fit.delta * 1.5)
+    t3, _, _ = bigscan.score_sweep_matfree(ctx, backend, sim.y, X0, fit2,
+                                           **kw)
+    assert calls["n"] == 1          # state changed: cache miss
+
+
+def dataclasses_replace_delta(fit, new_delta):
+    import dataclasses as _dc
+    return _dc.replace(fit, delta=new_delta)
+
+
 def test_fpr4am_matfree_matches_eig():
     """FPR calibration via the matrix-free engine tracks the eigenbasis
     path: identical permutations (same seed), λ_crit agrees per-rep up to
