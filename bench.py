@@ -509,26 +509,24 @@ def bench_cohort_full(args) -> None:
         import jax.numpy as jnp
         q8 = 8
         w_multi = R * (q8 + 3)
-        # random (incompressible) device buffers: the relay transparently
-        # compresses transfers, so a zeros probe measured 0.0 s
+        # random (incompressible — the relay compresses, so zeros fetch
+        # in 0 s) FRESH buffers per rep (jax.Array caches its host copy
+        # after the first fetch, so re-fetching a warmed buffer is free)
         key = jax.random.PRNGKey(0)
-        dev_m = jax.random.normal(
-            key, (scan._pstack.shape[0], w_multi), jnp.float32)
-        dev_s = jax.random.normal(
-            key, (scan._pstack.shape[0], q8 + 3), jnp.float32)
-        np.asarray(dev_s)
-        td = []
-        for _ in range(2):
+        p_pad = scan._pstack.shape[0]
+
+        def d2h_time(width: int, i: int) -> float:
+            arr = jax.random.normal(jax.random.fold_in(key, i),
+                                    (p_pad, width), jnp.float32)
+            arr.block_until_ready()
             s0_ = time.perf_counter()
-            np.asarray(dev_m)
-            td.append(time.perf_counter() - s0_)
-        d2h_multi = float(np.median(td))
-        td = []
-        for _ in range(2):
-            s0_ = time.perf_counter()
-            np.asarray(dev_s)
-            td.append(time.perf_counter() - s0_)
-        d2h_single = float(np.median(td))
+            np.asarray(arr)
+            return time.perf_counter() - s0_
+
+        d2h_multi = float(np.median([d2h_time(w_multi, i)
+                                     for i in range(2)]))
+        d2h_single = float(np.median([d2h_time(q8 + 3, i + 8)
+                                      for i in range(2)]))
         m1, s1 = float(np.median(t1)), float(np.median(t0))
         multi = {
             "traits": R, "probe_cols": 1 + q + r_mt,
