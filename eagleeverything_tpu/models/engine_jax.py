@@ -1534,6 +1534,21 @@ class TiledScan:
         if R == 1:
             return [self.matfree_stat_rows(A_list[0], q_list[0],
                                            Minv_list[0])]
+        # width cap: a large permutation chunk × wide probe blocks can
+        # request thousands of columns; sub-batch so one pass stays
+        # within the device working set (each sub-batch is still ONE
+        # stack pass for its traits)
+        cap = int(os.environ.get("EAGLE_MULTI_STAT_COLS", "640"))
+        c_est = 1 + (-(-max(max(q_list), 1) // 8) * 8) \
+            + (A_list[0].shape[1] - 1 - q_list[0])
+        if R * c_est > cap and R > 1:
+            half = max(1, cap // c_est) if cap // c_est >= 1 else 1
+            out = []
+            for s in range(0, R, half):
+                out.extend(self.matfree_stat_rows_multi(
+                    A_list[s : s + half], q_list[s : s + half],
+                    Minv_list[s : s + half]))
+            return out
         self.stack_passes += 1
         r = A_list[0].shape[1] - 1 - q_list[0]
         n_rec = A_list[0].shape[0]
