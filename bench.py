@@ -322,20 +322,34 @@ def run_ladder(args) -> None:
                                       "/tmp/eagle_cohort")
                 if remaining > 1100 and os.path.exists(
                         os.path.join(cdir, "store", "manifest.json")):
-                    cf_to = int(min(remaining - 60, 1500))
-                    try:
-                        rc = subprocess.run(
-                            [sys.executable, __file__, "--config",
-                             "cohort-full", "--traits", "4",
-                             "--watchdog", str(cf_to)],
-                            capture_output=True, text=True,
-                            timeout=cf_to + 60)
-                        cl = [ln for ln in rc.stdout.splitlines()
-                              if ln.startswith("{")]
-                        det["cohort_full"] = (json.loads(cl[-1]) if cl
-                                              else {"rc": rc.returncode})
-                    except Exception as e:
-                        det["cohort_full"] = {"error": repr(e)[:200]}
+                    # One retry on a failed child: the relay backend can
+                    # transiently RESOURCE_EXHAUST right after another
+                    # process's device buffers are torn down (observed
+                    # 2026-08-21 on a fresh host); a second attempt on a
+                    # quiesced chip succeeds and compile-hits the cache.
+                    for attempt in range(2):
+                        remaining = deadline - time.time()
+                        if remaining < 1100 and attempt > 0:
+                            break
+                        cf_to = int(min(remaining - 60, 1500))
+                        try:
+                            rc = subprocess.run(
+                                [sys.executable, __file__, "--config",
+                                 "cohort-full", "--traits", "4",
+                                 "--watchdog", str(cf_to)],
+                                capture_output=True, text=True,
+                                timeout=cf_to + 60)
+                            cl = [ln for ln in rc.stdout.splitlines()
+                                  if ln.startswith("{")]
+                            det["cohort_full"] = (
+                                json.loads(cl[-1]) if cl
+                                else {"rc": rc.returncode,
+                                      "stderr_tail":
+                                          (rc.stderr or "")[-300:]})
+                            if cl and rc.returncode == 0:
+                                break
+                        except Exception as e:
+                            det["cohort_full"] = {"error": repr(e)[:200]}
                 else:
                     det["cohort_full"] = {
                         "skipped": f"remaining_s={round(remaining)}, "
