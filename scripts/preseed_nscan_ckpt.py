@@ -1,27 +1,32 @@
 #!/usr/bin/env python
-"""Reconstruct the 500k-individual scan's iteration-0 checkpoint from the
-round-4 run's committed evidence (docs/biobank_axis_n_result.json +
-docs/biobank_axis_n_partial.jsonl).
+"""Reconstruct the 500k-individual scan's checkpoint from the committed
+evidence (docs/biobank_axis_n_result.json), so the multi-hour scan can
+resume on a FRESH host after the sandbox machine (and /tmp, and the
+original /root checkpoint dir) is recycled between sessions.
 
-The r4 run completed iteration 0 (candidate 254 ACCEPTED, extBIC
-1304315.3189 -> 1291391.5893, initial delta=1.779) but was launched
-without ckpt_dir wired (VERDICT r4 item 1), so no scan_state.json was
-written before the round wall-clock SIGTERM. The genotype store and the
-trait vector SURVIVED in /tmp/eagle_biobank, so the decision state those
-logs record is exactly what bigscan's own save_scan_state would have
-persisted: the selected list and the extBIC/loglik trajectory (loglik is
-recovered from extBIC by inverting reml_core.extbic at the known k).
+The genotype store and the trait vector regenerate deterministically from
+meta_n.json's seed (scripts/biobank_axes.py --axis n --gen); what is NOT
+cheaply recomputable is the scan's decision state — the selected-marker
+list and the extBIC/loglik trajectory — and, at biobank n, the exact
+REML fit at the current model (tens of minutes of store passes). Both
+are in the committed result JSON: the extBIC path is recorded at full
+precision (loglik is recovered by inverting reml_core.extbic at each k),
+and the r5 run's final exact fit (delta, sigma2_g, sigma2_e at the
+k-marker model) was snapshotted, so the seeded state can stamp
+meta["fit_exact"] and resume goes STRAIGHT to the next sweep — the same
+fast-resume path bigscan's own checkpoint writer produces (the r5 run's
+demonstrated mid-scan resumes re-entered in 67-71 s).
 
-The seeded state deliberately OMITS meta["fit_exact"]: sigma2_g/e at the
-post-accept model were never logged, so resume takes the refit path
-(delta-hinted reml_maximize_matfree) and recomputes the exact fit before
-sweep 1 — every forward decision value is computed fresh; only the
-already-logged trajectory prefix is carried over.
+If the result JSON predates the fit snapshot (r4 format: iteration 0
+only, no delta_final), fit_exact is omitted and resume takes the
+delta-hinted refit path instead — every forward decision value is still
+computed fresh; only the logged trajectory prefix is carried over.
 
 Provenance is stamped into meta["seeded_from"] so the result JSON can
 say which iterations were run live in which round.
 """
 
+import json
 import math
 import os
 import sys
@@ -35,39 +40,58 @@ from eagleeverything_tpu.utils import checkpoint as ckpt
 
 BASE = os.environ.get("EAGLE_BIOBANK_DIR", "/tmp/eagle_biobank")
 CKPT = os.environ.get("EAGLE_CKPT", "/root/eagle_nscan_ckpt")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULT = os.environ.get(
+    "EAGLE_NSCAN_RESULT",
+    os.path.join(REPO, "docs", "biobank_axis_n_result.json"))
 
-N, P, LAM = 500_000, 32_768, 1.0
-# committed r4 evidence (docs/biobank_axis_n_result.json "events")
-EXTBIC_0 = 1304315.3189        # initial model, k=0
-EXTBIC_1 = 1291391.5893227712  # after accepting SNP 254, k=1 (jsonl, full prec.)
-DELTA_0 = 1.779                # initial REML optimum (hint only)
-SELECTED = [254]
+LAM = 1.0
 
 
-def invert_extbic(e: float, k: int) -> float:
+def invert_extbic(e: float, n: int, p: int, k: int) -> float:
     """loglik from extBIC = -2*LL + k*log n + 2*lam*log C(p,k)."""
-    return -(e - k * math.log(N) - 2.0 * LAM * reml_core.log_choose(P, k)) / 2.0
+    return -(e - k * math.log(n) - 2.0 * LAM * reml_core.log_choose(p, k)) / 2.0
 
 
 def main() -> None:
-    y = np.load(os.path.join(BASE, "y_n.npy"))
-    assert y.shape == (N,)
-    ll0, ll1 = invert_extbic(EXTBIC_0, 0), invert_extbic(EXTBIC_1, 1)
+    with open(RESULT) as f:
+        res = json.load(f)
+    n, p = int(res["n"]), int(res["p"])
+    selected = [int(j) for j in res["selected"]]
+    extbic_path = [float(v) for v in res["extbic_path"]]
+    assert len(extbic_path) == len(selected) + 1, \
+        "extbic_path must have one entry per accepted model incl. k=0"
+    loglik_path = [invert_extbic(e, n, p, k)
+                   for k, e in enumerate(extbic_path)]
     # round-trip check against the engine's own extbic()
-    assert abs(reml_core.extbic(ll1, N, P, 1, LAM) - EXTBIC_1) < 1e-6
-    ckpt.save_scan_state(
-        CKPT, SELECTED,
-        extbic_path=[EXTBIC_0, EXTBIC_1],
-        loglik_path=[ll0, ll1],
-        delta=DELTA_0, sigma2_g=0.0, sigma2_e=0.0,  # unused: no fit_exact
-        meta={"trait_n": N, "p": P, "lam_ebic": LAM,
-              "trait_sum": round(float(np.sum(y)), 6),
-              "trait_sq": round(float(y @ y), 6),
-              "seeded_from": "r4 logs (docs/biobank_axis_n_result.json); "
-                             "iteration 0 ran 2026-08-21 round 4; no "
-                             "fit_exact -> resume refits before sweep 1"})
-    print(f"seeded {CKPT}/scan_state.json: selected={SELECTED} "
-          f"ll0={ll0:.4f} ll1={ll1:.4f}")
+    for k, (ll, e) in enumerate(zip(loglik_path, extbic_path)):
+        assert abs(reml_core.extbic(ll, n, p, k, LAM) - e) < 1e-6
+
+    y = np.load(os.path.join(BASE, "y_n.npy"))
+    assert y.shape == (n,)
+
+    meta = {"trait_n": n, "p": p, "lam_ebic": LAM,
+            "trait_sum": round(float(np.sum(y)), 6),
+            "trait_sq": round(float(y @ y), 6)}
+    exact = "delta_final" in res and "sigma2_g" in res
+    if exact:
+        delta = float(res["delta_final"])
+        s2g, s2e = float(res["sigma2_g"]), float(res["sigma2_e"])
+        meta["fit_exact"] = True
+        meta["seeded_from"] = (
+            f"{os.path.basename(RESULT)} (committed run evidence): "
+            f"k={len(selected)} exact fit snapshot -> resume enters the "
+            f"next sweep directly")
+    else:
+        delta, s2g, s2e = float(res.get("delta_initial", 1.779)), 0.0, 0.0
+        meta["seeded_from"] = (
+            f"{os.path.basename(RESULT)} (committed run evidence, no fit "
+            f"snapshot) -> resume refits at the delta hint before the "
+            f"next sweep")
+    ckpt.save_scan_state(CKPT, selected, extbic_path, loglik_path,
+                         delta, s2g, s2e, meta=meta)
+    print(f"seeded {CKPT}/scan_state.json: selected={selected} "
+          f"k={len(selected)} fit_exact={exact} delta={delta:.6g}")
 
 
 if __name__ == "__main__":
